@@ -1,0 +1,99 @@
+"""Typed configuration for deva_tpu.
+
+The reference threads a flat mutable argparse dict through every layer
+(reference:deva/utils/configuration.py, deva/inference/eval_args.py). Here we use
+frozen dataclasses so configs are hashable (usable as static jit args) and typed.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyperparameters.
+
+    Defaults match reference:deva/inference/eval_args.py:20-22 and
+    reference:deva/utils/configuration.py:25-27.
+    """
+    pix_feat_dim: int = 512
+    key_dim: int = 64
+    value_dim: int = 512
+    # sensory dim == value dim (reference:deva/inference/memory_manager.py:19)
+
+    # Compute dtype for the conv backbones / decoder. Params are always f32.
+    # Attention similarity/softmax, logit aggregation and the final prediction
+    # conv stay in f32 regardless (reference keeps f32 islands:
+    # reference:deva/model/network.py:33-40, big_modules.py:189-190).
+    dtype: str = "float32"
+
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+
+@dataclasses.dataclass(frozen=True)
+class InferenceConfig:
+    """Inference-time knobs. Defaults match reference:deva/inference/eval_args.py:25-56
+    and reference:deva/ext/ext_eval_args.py:45-86."""
+    mem_every: int = 5
+    top_k: int = 30
+    # long-term memory (XMem-style)
+    enable_long_term: bool = True
+    enable_long_term_count_usage: bool = False
+    max_mid_term_frames: int = 10    # T_max
+    min_mid_term_frames: int = 5     # T_min
+    num_prototypes: int = 128        # P
+    max_long_term_elements: int = 10000  # LT_max
+
+    # image sizing: resize shorter side to `size` (-1 keeps original)
+    size: int = 480
+
+    # detection-fusion knobs
+    max_missed_detection_count: int = 10
+    max_num_objects: int = -1        # -1 = unbounded
+    detection_every: int = 5
+    num_voting_frames: int = 3
+
+    # object-axis padding buckets: device tensors over the object axis are padded
+    # up to the next entry so frame-to-frame steps never retrace as objects churn.
+    obj_pad_buckets: tuple = (1, 2, 4, 8, 16, 32, 64, 128, 256)
+
+    def pad_objects(self, n: int) -> int:
+        for b in self.obj_pad_buckets:
+            if n <= b:
+                return b
+        return n  # beyond the largest bucket: exact (rare)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training hyperparameters (per-stage values:
+    reference:deva/utils/configuration.py:45-64)."""
+    batch_size: int = 16
+    num_frames: int = 8
+    num_ref_frames: int = 3
+    lr: float = 1e-5
+    weight_decay: float = 0.05
+    iterations: int = 150_000
+    steps: tuple = (120_000, 140_000)
+    gamma: float = 0.1
+    clip_grad_norm: float = 3.0
+    deep_update_prob: float = 0.2
+    max_num_obj: int = 3
+    # bootstrapped CE schedule (reference:deva/model/losses.py:24-45)
+    start_warm: int = 20_000
+    end_warm: int = 70_000
+    amp_dtype: str = "bfloat16"
+
+
+def flat_config(model: ModelConfig = ModelConfig(),
+                infer: InferenceConfig = InferenceConfig()) -> dict:
+    """A reference-style flat dict view, for drivers that want parity with the
+    reference's config plumbing."""
+    d = dataclasses.asdict(model)
+    d.update(dataclasses.asdict(infer))
+    return d

@@ -1,0 +1,129 @@
+"""Memory-attention math: anisotropic L2 similarity, top-k softmax, readout.
+
+Behavioral anchor: reference:deva/model/memory_utils.py:6-94. The reference is
+channel-first ([C, N]); deva_tpu is tokens-first ([N, C]) which is the natural
+MXU layout (tokens on the sublane axis, channels on the lane axis).
+
+Similarity (XMem appendix): for memory key a (with shrinkage s) and query key b
+with per-channel selection e:
+    sim(a, b) = -s * sum_c e_c (a_c - b_c)^2 / sqrt(Ck)
+expanded into two matmuls:  -a^2·e + 2 a·(b e) - sum(e b^2).
+
+This module is the always-correct XLA implementation; a fused Pallas kernel
+(deva_tpu/ops/pallas_attention.py) implements the single-bucket hot path.
+
+All functions take an optional token-validity mask so memory lives in
+fixed-shape ring buffers: invalid tokens get -inf similarity and can never be
+selected by top-k, making the fixed-shape result exactly equal to the
+dynamic-shape reference computation on the valid prefix.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def get_similarity(mk: jnp.ndarray,
+                   ms: Optional[jnp.ndarray],
+                   qk: jnp.ndarray,
+                   qe: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Pairwise similarity between memory and query tokens.
+
+    mk: [N, Ck] memory keys;  ms: [N] shrinkage (or None)
+    qk: [Q, Ck] query keys;   qe: [Q, Ck] selection (or None)
+    returns sim: [Q, N]   (query-major: top-k reduces the last axis)
+
+    reference:deva/model/memory_utils.py:6-45 (transposed layout).
+    """
+    ck = mk.shape[-1]
+    mk = mk.astype(jnp.float32)
+    qk = qk.astype(jnp.float32)
+    if qe is not None:
+        qe = qe.astype(jnp.float32)
+        # [Q, N] = (qe @ mk^2.T); two_ab = 2 (qk*qe) @ mk.T; b_sq rowwise
+        a_sq = qe @ (mk * mk).T
+        two_ab = 2.0 * ((qk * qe) @ mk.T)
+        b_sq = jnp.sum(qe * qk * qk, axis=-1, keepdims=True)
+        sim = -a_sq + two_ab - b_sq
+    else:
+        a_sq = jnp.sum(mk * mk, axis=-1)[None, :]
+        two_ab = 2.0 * (qk @ mk.T)
+        sim = -a_sq + two_ab
+
+    if ms is not None:
+        sim = sim * (ms.astype(jnp.float32)[None, :] / math.sqrt(ck))
+    else:
+        sim = sim / math.sqrt(ck)
+    return sim
+
+
+def topk_softmax(sim: jnp.ndarray,
+                 top_k: int,
+                 valid: Optional[jnp.ndarray] = None,
+                 return_usage: bool = False):
+    """Top-k-restricted softmax over the token axis (last axis of [Q, N]).
+
+    Matches reference:deva/model/memory_utils.py:48-76: select top_k entries
+    per query, exponentiate WITHOUT max subtraction (similarity <= 0 by
+    construction), normalize, scatter back to a dense [Q, N] affinity.
+
+    valid: [N] bool; invalid tokens are masked to -inf (exp -> 0 exactly).
+    usage (if requested): affinity summed over queries, per token: [N].
+    """
+    if valid is not None:
+        sim = jnp.where(valid[None, :], sim, -jnp.inf)
+    q, n = sim.shape
+    values, indices = jax.lax.top_k(sim, top_k)  # [Q, K]
+    x_exp = jnp.exp(values)  # sim <= 0 so exp <= 1; exp(-inf) == 0
+    x_exp = x_exp / jnp.sum(x_exp, axis=-1, keepdims=True)
+    affinity = jnp.zeros((q, n), dtype=x_exp.dtype)
+    affinity = affinity.at[jnp.arange(q)[:, None], indices].add(x_exp)
+    if return_usage:
+        return affinity, affinity.sum(axis=0)
+    return affinity
+
+
+def full_softmax(sim: jnp.ndarray,
+                 valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Dense softmax over the token axis (training path / consolidation).
+
+    reference:deva/model/memory_utils.py:66-70 (with max subtraction)."""
+    if valid is not None:
+        sim = jnp.where(valid[None, :], sim, -jnp.inf)
+    maxes = jnp.max(sim, axis=-1, keepdims=True)
+    x_exp = jnp.exp(sim - maxes)
+    return x_exp / jnp.sum(x_exp, axis=-1, keepdims=True)
+
+
+def readout(affinity: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray:
+    """Weighted readout of memory values.
+
+    affinity: [Q, N]; values: [..., N, Cv] -> out [..., Q, Cv].
+    reference:deva/model/memory_utils.py:87-94 (transposed layout).
+    """
+    return jnp.einsum("qn,...nc->...qc", affinity, values.astype(affinity.dtype),
+                      preferred_element_type=jnp.float32)
+
+
+def attend(mk: jnp.ndarray,
+           ms: Optional[jnp.ndarray],
+           values: jnp.ndarray,
+           qk: jnp.ndarray,
+           qe: Optional[jnp.ndarray],
+           top_k: int,
+           valid: Optional[jnp.ndarray] = None,
+           return_usage: bool = False):
+    """similarity -> top-k softmax -> readout, in one call.
+
+    mk [N, Ck], ms [N], values [O, N, Cv], qk [Q, Ck], qe [Q, Ck]
+    returns out [O, Q, Cv] (f32) and optionally usage [N].
+    """
+    sim = get_similarity(mk, ms, qk, qe)
+    if return_usage:
+        affinity, usage = topk_softmax(sim, top_k, valid, return_usage=True)
+        return readout(affinity, values), usage
+    affinity = topk_softmax(sim, top_k, valid)
+    return readout(affinity, values)
