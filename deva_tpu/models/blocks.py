@@ -1,0 +1,256 @@
+"""Low-level network blocks, NHWC / object-grouped.
+
+Grouped ("g") tensors carry a per-object axis: [B, O, H, W, C]. Convolutions
+fold O into the batch axis — on TPU this keeps convs large and batched on the
+MXU; all blocks are permutation-equivariant over O (same property the reference
+notes at reference:deva/model/group_modules.py:6-7).
+
+Behavioral anchors:
+  reference:deva/model/group_modules.py:17-151 (GConv2D, GroupResBlock,
+    MainToGroupDistributor, GroupFeatureFusionBlock, up/downsample_groups)
+  reference:deva/model/modules.py:22-169 (KeyProjection, MaskUpsampleBlock,
+    DecoderFeatureProcessor, LinearPredictor, SensoryUpdater,
+    SensoryDeepUpdater)
+  reference:deva/model/cbam.py:7-77 (CBAM)
+"""
+from __future__ import annotations
+
+from typing import Any, List, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from deva_tpu.ops.resize import downsample_area, upsample_bilinear
+
+
+def fold(g):
+    """[B, O, ...] -> [B*O, ...]"""
+    b, o = g.shape[:2]
+    return g.reshape((b * o,) + g.shape[2:]), (b, o)
+
+
+def unfold(x, bo):
+    b, o = bo
+    return x.reshape((b, o) + x.shape[1:])
+
+
+def distribute_cat(x: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """Broadcast frame features x [B,H,W,C] over objects and concat with
+    g [B,O,H,W,Cg] on channels (x first).
+    reference:deva/model/group_modules.py:105-120 (method='cat')."""
+    o = g.shape[1]
+    x = jnp.broadcast_to(x[:, None], (x.shape[0], o) + x.shape[1:])
+    return jnp.concatenate([x, g], axis=-1)
+
+
+def distribute_add(x: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """reference:deva/model/group_modules.py:121-122 (method='add')."""
+    return x[:, None] + g
+
+
+def upsample_groups(g: jnp.ndarray, ratio: int = 2) -> jnp.ndarray:
+    folded, bo = fold(g)
+    return unfold(upsample_bilinear(folded, ratio), bo)
+
+
+def downsample_groups(g: jnp.ndarray, inv_ratio: int = 2) -> jnp.ndarray:
+    folded, bo = fold(g)
+    return unfold(downsample_area(folded, inv_ratio), bo)
+
+
+class GConv2D(nn.Module):
+    """Conv over grouped tensors (object axis folded into batch).
+    reference:deva/model/group_modules.py:41-45."""
+    features: int
+    kernel_size: int = 1
+    dtype: Any = jnp.float32
+    kernel_init: Any = nn.initializers.lecun_normal()
+
+    @nn.compact
+    def __call__(self, g):
+        k = self.kernel_size
+        pad = ((k // 2, k // 2), (k // 2, k // 2))
+        folded, bo = fold(g)
+        out = nn.Conv(self.features, (k, k), padding=pad, dtype=self.dtype,
+                      kernel_init=self.kernel_init, name="conv")(folded)
+        return unfold(out, bo)
+
+
+class GroupResBlock(nn.Module):
+    """Pre-activation residual block over grouped tensors with a 1x1
+    projection shortcut when channels change.
+    reference:deva/model/group_modules.py:48-67."""
+    out_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, g):
+        in_dim = g.shape[-1]
+        folded, bo = fold(g)
+        out = nn.Conv(self.out_dim, (3, 3), padding=((1, 1), (1, 1)),
+                      dtype=self.dtype, name="conv1")(nn.relu(folded))
+        out = nn.Conv(self.out_dim, (3, 3), padding=((1, 1), (1, 1)),
+                      dtype=self.dtype, name="conv2")(nn.relu(out))
+        if in_dim != self.out_dim:
+            folded = nn.Conv(self.out_dim, (1, 1), dtype=self.dtype,
+                             name="downsample")(folded)
+        return unfold(out + folded, bo)
+
+
+class CBAM(nn.Module):
+    """Convolutional block attention: channel gate (avg+max pooled shared MLP)
+    then 7x7 spatial gate. Operates on folded [N,H,W,C].
+    reference:deva/model/cbam.py:21-77."""
+    gate_channels: int
+    reduction_ratio: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.gate_channels
+        mlp_in = nn.Dense(c // self.reduction_ratio, dtype=self.dtype,
+                          name="mlp_fc1")
+        mlp_out = nn.Dense(c, dtype=self.dtype, name="mlp_fc2")
+        avg = x.mean(axis=(1, 2))
+        mx = x.max(axis=(1, 2))
+        att = mlp_out(nn.relu(mlp_in(avg))) + mlp_out(nn.relu(mlp_in(mx)))
+        x = x * nn.sigmoid(att)[:, None, None, :]
+
+        compress = jnp.concatenate(
+            [x.max(axis=-1, keepdims=True), x.mean(axis=-1, keepdims=True)],
+            axis=-1)
+        gate = nn.Conv(1, (7, 7), padding=((3, 3), (3, 3)), dtype=self.dtype,
+                       name="spatial")(compress)
+        return x * nn.sigmoid(gate)
+
+
+class GroupFeatureFusionBlock(nn.Module):
+    """Fuse frame features with per-object features: cat-distribute ->
+    GroupResBlock -> CBAM residual -> GroupResBlock.
+    reference:deva/model/group_modules.py:133-151."""
+    mid_dim: int
+    out_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, g):
+        g = distribute_cat(x, g)
+        g = GroupResBlock(self.mid_dim, dtype=self.dtype, name="block1")(g)
+        folded, bo = fold(g)
+        r = CBAM(self.mid_dim, dtype=self.dtype, name="attention")(folded)
+        g = g + unfold(r, bo)
+        return GroupResBlock(self.out_dim, dtype=self.dtype, name="block2")(g)
+
+
+class KeyProjection(nn.Module):
+    """Key / shrinkage / selection projections from pixel features.
+    shrinkage = d_proj(x)^2 + 1 (per-token scale >= 1);
+    selection = sigmoid(e_proj(x)) (per-channel query gate).
+    reference:deva/model/modules.py:60-78."""
+    key_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, need_s: bool = True, need_e: bool = True):
+        key = nn.Conv(self.key_dim, (3, 3), padding=((1, 1), (1, 1)),
+                      dtype=self.dtype,
+                      kernel_init=nn.initializers.orthogonal(),
+                      bias_init=nn.initializers.zeros, name="key_proj")(x)
+        shrinkage = None
+        selection = None
+        if need_s:
+            d = nn.Conv(1, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
+                        name="d_proj")(x)
+            shrinkage = d * d + 1.0
+        if need_e:
+            e = nn.Conv(self.key_dim, (3, 3), padding=((1, 1), (1, 1)),
+                        dtype=self.dtype, name="e_proj")(x)
+            selection = nn.sigmoid(e)
+        return key, shrinkage, selection
+
+
+class MaskUpsampleBlock(nn.Module):
+    """x2 bilinear upsample of grouped features + skip add + GroupResBlock.
+    reference:deva/model/modules.py:81-92."""
+    out_dim: int
+    scale_factor: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, skip_f, up_g):
+        g = upsample_groups(up_g, ratio=self.scale_factor)
+        g = distribute_add(skip_f, g)
+        return GroupResBlock(self.out_dim, dtype=self.dtype, name="out_conv")(g)
+
+
+class DecoderFeatureProcessor(nn.Module):
+    """1x1 projections of the skip features. reference:deva/model/modules.py:95-104."""
+    out_dims: Sequence[int]
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, multi_scale_features) -> List[jnp.ndarray]:
+        return [
+            nn.Conv(d, (1, 1), dtype=self.dtype, name=f"transform_{i}")(x)
+            for i, (x, d) in enumerate(zip(multi_scale_features, self.out_dims))
+        ]
+
+
+class LinearPredictor(nn.Module):
+    """Aux linear mask predictor: per-object dynamic linear classifier over
+    frame features. reference:deva/model/modules.py:107-118."""
+    pred_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, im_feat, pred_feat):
+        # im_feat [B,h,w,Cp]; pred_feat [B,O,h,w,Cv]
+        params = GConv2D(self.pred_dim + 1, 1, dtype=self.dtype,
+                         name="projection")(pred_feat)  # [B,O,h,w,Cp+1]
+        x = jnp.sum(im_feat[:, None] * params[..., :-1], axis=-1,
+                    keepdims=True) + params[..., -1:]
+        return x  # [B,O,h,w,1]
+
+
+def _gru_update(values: jnp.ndarray, h: jnp.ndarray, sensory_dim: int):
+    """DEVA's nonstandard GRU: new value is generated before the forget gate
+    (reference:deva/model/modules.py:141-151)."""
+    forget_gate = nn.sigmoid(values[..., :sensory_dim])
+    update_gate = nn.sigmoid(values[..., sensory_dim:sensory_dim * 2])
+    new_value = jnp.tanh(values[..., sensory_dim * 2:])
+    return forget_gate * h * (1.0 - update_gate) + update_gate * new_value
+
+
+class SensoryUpdater(nn.Module):
+    """Decoder-side multi-scale GRU update of the sensory memory.
+    reference:deva/model/modules.py:121-151."""
+    mid_dim: int
+    sensory_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, g16, g8, g4, h):
+        g = (GConv2D(self.mid_dim, 1, dtype=self.dtype, name="g16_conv")(g16) +
+             GConv2D(self.mid_dim, 1, dtype=self.dtype, name="g8_conv")(
+                 downsample_groups(g8, 2)) +
+             GConv2D(self.mid_dim, 1, dtype=self.dtype, name="g4_conv")(
+                 downsample_groups(g4, 4)))
+        g = jnp.concatenate([g, h], axis=-1)
+        values = GConv2D(self.sensory_dim * 3, 3, dtype=self.dtype,
+                         kernel_init=nn.initializers.xavier_normal(),
+                         name="transform")(g)
+        return _gru_update(values, h, self.sensory_dim)
+
+
+class SensoryDeepUpdater(nn.Module):
+    """Mask-encoder-side GRU update of the sensory memory.
+    reference:deva/model/modules.py:154-169."""
+    sensory_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, f, h):
+        values = GConv2D(self.sensory_dim * 3, 3, dtype=self.dtype,
+                         kernel_init=nn.initializers.xavier_normal(),
+                         name="transform")(jnp.concatenate([f, h], axis=-1))
+        return _gru_update(values, h, self.sensory_dim)
