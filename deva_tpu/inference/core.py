@@ -1,0 +1,294 @@
+"""InferenceCore: the stateful per-video propagation engine.
+
+Behavioral anchor: reference:deva/inference/inference_core.py:17-290
+(DEVAInferenceCore). Host-side orchestration only — every per-pixel computation
+runs in a small set of jitted device functions whose shapes are fixed by
+(resolution, object-pad bucket), so frame-to-frame steps never retrace.
+
+Key differences from the reference (all semantics-preserving):
+  - the object axis is padded to a bucket size; a `selector` mask zeroes the
+    padded slots inside `segment` (same mechanism the reference uses for
+    padded objects in training, reference:deva/model/network.py:129-146)
+  - the memory lives in fixed-capacity rings (see deva_tpu/inference/memory.py)
+  - probabilities returned to the caller are sliced back to 1+num_obj channels
+"""
+from __future__ import annotations
+
+import functools
+import warnings
+from typing import Iterable, List, Literal, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deva_tpu.config import InferenceConfig, ModelConfig
+from deva_tpu.inference.feature_store import ImageFeatureStore
+from deva_tpu.inference.memory import MemoryEngine
+from deva_tpu.inference.object_info import ObjectInfo
+from deva_tpu.inference.object_manager import ObjectManager
+from deva_tpu.models.network import DEVANetwork
+from deva_tpu.ops.aggregate import aggregate_logits
+from deva_tpu.ops.pad import pad_divide_by, unpad
+
+
+class InferenceCore:
+    def __init__(self,
+                 model: DEVANetwork,
+                 variables,
+                 config: InferenceConfig,
+                 *,
+                 image_feature_store: Optional[ImageFeatureStore] = None):
+        self.model = model
+        self.variables = variables
+        self.cfg = config
+        self.mem_every = config.mem_every
+
+        mc: ModelConfig = model.config
+        self._mc = mc
+
+        # jitted model entry points (cached across frames and videos);
+        # variables are passed as arguments so weights are device buffers,
+        # not trace-time constants
+        _enc = jax.jit(lambda v, img: model.apply(
+            v, img, method=DEVANetwork.encode_image))
+        _tk = jax.jit(lambda v, feat: model.apply(
+            v, feat, method=DEVANetwork.transform_key))
+        _em = jax.jit(lambda v, img, f16, sensory, masks, deep: model.apply(
+            v, img, f16, sensory, masks, deep_update=deep,
+            method=DEVANetwork.encode_mask), static_argnums=(5,))
+        _sd = jax.jit(
+            lambda v, ms, rd, sensory, last_mask, selector, upd: model.apply(
+                v, ms, rd, sensory, last_mask, selector=selector,
+                update_sensory=upd, method=DEVANetwork.segment),
+            static_argnums=(6,))
+        self._encode_image = lambda img: _enc(self.variables, img)
+        self._transform_key = lambda feat: _tk(self.variables, feat)
+        self._encode_mask = lambda *a: _em(self.variables, *a)
+        self._segment_decode = lambda *a: _sd(self.variables, *a)
+
+        self.curr_ti = -1
+        self.last_mem_ti = 0
+        self.object_manager = ObjectManager()
+        self.memory: Optional[MemoryEngine] = None
+        self.o_cap = 0
+
+        if image_feature_store is None:
+            self.image_feature_store = ImageFeatureStore(
+                self._encode_image, self._transform_key)
+        else:
+            self.image_feature_store = image_feature_store
+
+        self.last_mask: Optional[jnp.ndarray] = None  # [O_cap, H, W] probs
+        self.pad: Tuple[int, int, int, int] = (0, 0, 0, 0)
+        self.frame_buffer: List = []  # online/semi-online buffering
+
+    # -- object-slot management -------------------------------------------
+
+    def enabled_long_id(self) -> None:
+        self.object_manager.use_long_id = True
+
+    @property
+    def use_long_id(self) -> bool:
+        return self.object_manager.use_long_id
+
+    def _ensure_capacity(self) -> None:
+        """(Re)size the padded object axis to hold num_obj slots."""
+        need = self.cfg.pad_objects(max(1, self.object_manager.num_obj))
+        if self.memory is None:
+            self.memory = MemoryEngine(self.cfg, self._mc.value_dim,
+                                       self._mc.key_dim, self._mc.value_dim,
+                                       o_cap=need)
+            self.o_cap = need
+            return
+        if need > self.o_cap:
+            grow = need - self.o_cap
+            self.memory.o_cap = need
+            if self.memory.sensory is not None:
+                self.memory.sensory = jnp.pad(
+                    self.memory.sensory, ((0, grow), (0, 0), (0, 0), (0, 0)))
+            if self.last_mask is not None:
+                self.last_mask = jnp.pad(self.last_mask,
+                                         ((0, grow), (0, 0), (0, 0)))
+            self.o_cap = need
+
+    def _selector(self) -> jnp.ndarray:
+        n = self.object_manager.num_obj
+        return (jnp.arange(self.o_cap) < n).astype(jnp.float32)[None]
+
+    # -- internals ----------------------------------------------------------
+
+    def _segment(self, key, shrinkage, selection, ms_features,
+                 update_sensory: bool = True) -> jnp.ndarray:
+        """-> probabilities [1 + O_cap, H, W] (padded channels ~ 0).
+        reference:inference_core.py:89-113."""
+        if self.memory is None or not self.memory.engaged:
+            warnings.warn("Trying to segment without any memory!",
+                          RuntimeWarning)
+            h, w = key.shape[1] * 16, key.shape[2] * 16
+            return jnp.zeros((1, h, w), jnp.float32)
+
+        hq, wq = key.shape[1], key.shape[2]
+        qk = key[0].reshape(hq * wq, -1)
+        qe = selection[0].reshape(hq * wq, -1)
+        obj_rows = {o.id: t - 1
+                    for o, t in self.object_manager.obj_to_tmp_id.items()}
+        readout = self.memory.match_memory(qk, qe, obj_rows)
+        readout = readout.reshape(1, self.o_cap, hq, wq, -1)
+
+        sensory = self.memory.get_sensory()[None]
+        last_mask = self.last_mask[None] if self.last_mask is not None else \
+            jnp.zeros((1, self.o_cap, hq * 16, wq * 16), jnp.float32)
+        new_sensory, _, prob = self._segment_decode(
+            ms_features, readout, sensory, last_mask, self._selector(),
+            update_sensory)
+        if update_sensory:
+            self.memory.update_sensory(new_sensory[0])
+        return prob[0]
+
+    def _add_memory(self, image, ms_features, prob_no_bg, key, shrinkage,
+                    selection, *, is_deep_update: bool = True) -> None:
+        """prob_no_bg: [O_cap, H, W]. reference:inference_core.py:55-87."""
+        if self.object_manager.num_obj == 0:
+            warnings.warn("Empty object mask!", RuntimeWarning)
+            return
+        hq, wq = key.shape[1], key.shape[2]
+        self.memory.initialize_sensory(hq, wq)
+        value, sensory = self._encode_mask(
+            image, ms_features[0], self.memory.get_sensory()[None],
+            prob_no_bg[None], is_deep_update)
+        self.memory.add_memory(
+            key[0].reshape(hq * wq, -1),
+            shrinkage[0].reshape(hq * wq),
+            value[0].reshape(self.o_cap, hq * wq, -1),
+            self.object_manager.all_obj_ids,
+            selection=(selection[0].reshape(hq * wq, -1)
+                       if selection is not None else None))
+        self.last_mem_ti = self.curr_ti
+        if is_deep_update:
+            self.memory.update_sensory(sensory[0])
+
+    # -- public API ----------------------------------------------------------
+
+    def step(self,
+             image,
+             mask=None,
+             objects: Optional[List[int]] = None,
+             *,
+             hard_mask: bool = True,
+             end: bool = False,
+             image_ti_override: Optional[int] = None,
+             delete_buffer: bool = True) -> jnp.ndarray:
+        """Propagate one frame.
+
+        image: [H, W, 3] float32, ImageNet-normalized.
+        mask: [H, W] int (hard) or [num_objects, H, W] float (soft) or None.
+        objects: object ids corresponding to the hard mask values.
+        Returns probabilities [1 + num_obj, H, W] (bg first), unpadded.
+        reference:inference_core.py:200-290.
+        """
+        if objects is None and mask is not None:
+            assert not hard_mask
+            objects = list(range(1, mask.shape[0] + 1))
+
+        self.curr_ti += 1
+        image_ti = self.curr_ti if image_ti_override is None else \
+            image_ti_override
+
+        image = jnp.asarray(image, jnp.float32)
+        image, self.pad = pad_divide_by(image, 16, 0, 1)
+        image = image[None]
+
+        is_mem_frame = ((self.curr_ti - self.last_mem_ti >= self.mem_every)
+                        or (mask is not None)) and (not end)
+        need_segment = (mask is None) or (
+            self.object_manager.num_obj > 0
+            and not self.object_manager.has_all(list(objects or [])))
+
+        ms_features, key, shrinkage, selection = \
+            self.image_feature_store.get_features(image_ti, image)
+
+        if self.memory is None:
+            self._ensure_capacity()
+
+        pred_prob_with_bg = None
+        if need_segment:
+            pred_prob_with_bg = self._segment(key, shrinkage, selection,
+                                              ms_features,
+                                              update_sensory=not end)
+
+        if mask is not None:
+            mask = jnp.asarray(mask)
+            mask, _ = pad_divide_by(mask, 16, -2, -1)
+            pred_prob_with_bg = self._merge_input_mask(
+                mask, objects, hard_mask, need_segment, pred_prob_with_bg)
+
+        # keep all padded slots in last_mask (device, fixed shape)
+        n = self.object_manager.num_obj
+        probs_no_bg = pred_prob_with_bg[1:]
+        if probs_no_bg.shape[0] != self.o_cap:
+            probs_no_bg = jnp.pad(
+                probs_no_bg, ((0, self.o_cap - probs_no_bg.shape[0]),
+                              (0, 0), (0, 0)))
+        self.last_mask = probs_no_bg
+
+        if is_mem_frame:
+            self._add_memory(image, ms_features, self.last_mask, key,
+                             shrinkage, selection)
+
+        if delete_buffer:
+            self.image_feature_store.delete(image_ti)
+
+        return unpad(pred_prob_with_bg[:n + 1], self.pad, -2, -1)
+
+    def _merge_input_mask(self, mask, objects, hard_mask: bool,
+                          need_segment: bool, pred_prob_with_bg):
+        """Merge a provided (possibly partial) mask with the forward
+        prediction. reference:inference_core.py:246-279."""
+        tmp_ids, _ = self.object_manager.add_new_objects(list(objects))
+        self._ensure_capacity()
+
+        if need_segment:
+            pred_prob_no_bg = pred_prob_with_bg[1:]
+            if hard_mask:
+                claimed = (mask > 0)
+            else:
+                claimed = (mask.max(axis=0) > 0.5)
+            pred_prob_no_bg = jnp.where(claimed[None], 0.0, pred_prob_no_bg)
+            if pred_prob_no_bg.shape[0] < self.o_cap:
+                pred_prob_no_bg = jnp.pad(
+                    pred_prob_no_bg,
+                    ((0, self.o_cap - pred_prob_no_bg.shape[0]), (0, 0), (0, 0)))
+            rows, layers = [], []
+            for mask_id, tmp_id in enumerate(tmp_ids):
+                if hard_mask:
+                    layers.append((mask == objects[mask_id]).astype(jnp.float32))
+                else:
+                    layers.append(mask[mask_id].astype(jnp.float32))
+                rows.append(tmp_id - 1)
+            merged = pred_prob_no_bg.at[jnp.asarray(rows)].set(
+                jnp.stack(layers))
+        else:
+            if hard_mask:
+                layers = [(mask == objects[mask_id]).astype(jnp.float32)
+                          for mask_id, _ in enumerate(tmp_ids)]
+            else:
+                layers = [mask[i].astype(jnp.float32)
+                          for i in range(len(tmp_ids))]
+            merged = jnp.stack(layers)
+            if merged.shape[0] < self.o_cap:
+                merged = jnp.pad(
+                    merged, ((0, self.o_cap - merged.shape[0]), (0, 0), (0, 0)))
+
+        logits = aggregate_logits(merged, axis=0)
+        return jax.nn.softmax(logits, axis=0)
+
+    # -- online/semi-online buffering (consensus added in the fusion layer) --
+
+    def add_to_temporary_buffer(self, frame_info) -> None:
+        self.frame_buffer.append(frame_info)
+
+    def clear_buffer(self) -> None:
+        for f in self.frame_buffer:
+            self.image_feature_store.delete(f.ti)
+        self.frame_buffer = []
