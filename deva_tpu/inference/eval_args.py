@@ -1,0 +1,104 @@
+"""Shared evaluation CLI flags + model factory.
+
+Behavioral anchor: reference:deva/inference/eval_args.py:7-72 (same flag names
+and defaults so reference users can switch drivers without relearning).
+"""
+from __future__ import annotations
+
+import os
+from argparse import ArgumentParser
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deva_tpu.config import InferenceConfig, ModelConfig
+from deva_tpu.models.network import DEVANetwork
+
+
+def add_common_eval_args(parser: ArgumentParser) -> None:
+    parser.add_argument("--model", default="./saves/DEVA-propagation.pth")
+    parser.add_argument("--output", default=None)
+    parser.add_argument("--save_all", action="store_true",
+                        help="Save all frames")
+    parser.add_argument("--amp", action="store_true",
+                        help="bfloat16 compute (TPU-native mixed precision)")
+
+    # model dims
+    parser.add_argument("--key_dim", type=int, default=64)
+    parser.add_argument("--value_dim", type=int, default=512)
+    parser.add_argument("--pix_feat_dim", type=int, default=512)
+
+    # long-term memory
+    parser.add_argument("--disable_long_term", action="store_true")
+    parser.add_argument("--max_mid_term_frames", type=int, default=10,
+                        help="T_max in XMem, decrease to save memory")
+    parser.add_argument("--min_mid_term_frames", type=int, default=5,
+                        help="T_min in XMem, decrease to save memory")
+    parser.add_argument("--max_long_term_elements", type=int, default=10000,
+                        help="LT_max in XMem")
+    parser.add_argument("--num_prototypes", type=int, default=128,
+                        help="P in XMem")
+
+    parser.add_argument("--top_k", type=int, default=30)
+    parser.add_argument("--mem_every", type=int, default=5,
+                        help="r in XMem; increase to improve speed")
+    parser.add_argument("--chunk_size", type=int, default=-1,
+                        help="accepted for reference CLI compatibility; the "
+                        "TPU build batches all objects (no chunking needed)")
+    parser.add_argument("--size", type=int, default=480,
+                        help="Resize shorter side to this; -1 keeps original")
+
+
+def make_inference_config(args, **overrides) -> InferenceConfig:
+    kw = dict(
+        mem_every=args.mem_every,
+        top_k=args.top_k,
+        enable_long_term=not args.disable_long_term,
+        max_mid_term_frames=args.max_mid_term_frames,
+        min_mid_term_frames=args.min_mid_term_frames,
+        num_prototypes=args.num_prototypes,
+        max_long_term_elements=args.max_long_term_elements,
+        size=args.size,
+    )
+    kw.update(overrides)
+    return InferenceConfig(**kw)
+
+
+def load_variables(model: DEVANetwork, model_path: str):
+    """Load weights: a reference torch .pth (converted on the fly) or a
+    deva_tpu .npz export. Falls back to random init with a warning."""
+    if model_path and os.path.exists(model_path):
+        if model_path.endswith(".npz"):
+            from flax.traverse_util import unflatten_dict
+            flat = dict(np.load(model_path))
+            tree = unflatten_dict(
+                {tuple(k.split("/")): v for k, v in flat.items()})
+            return {"params": tree["params"],
+                    "batch_stats": tree["batch_stats"]}
+        from deva_tpu.models.convert import load_torch_checkpoint
+        return load_torch_checkpoint(model_path)
+    print(f"No model loaded ({model_path!r} not found); using random init.")
+    return model.init(jax.random.PRNGKey(42),
+                      jnp.zeros((1, 32, 32, 3)),
+                      jnp.zeros((1, 1, 32, 32)),
+                      jnp.zeros((1, 1, 2, 2, model.config.value_dim)))
+
+
+def save_variables_npz(variables, out_path: str) -> None:
+    from flax.traverse_util import flatten_dict
+    flat = flatten_dict({"params": variables["params"],
+                         "batch_stats": variables["batch_stats"]})
+    np.savez(out_path, **{"/".join(k): np.asarray(v)
+                          for k, v in flat.items()})
+
+
+def get_model_and_config(parser: ArgumentParser):
+    args = parser.parse_args()
+    mc = ModelConfig(pix_feat_dim=args.pix_feat_dim, key_dim=args.key_dim,
+                     value_dim=args.value_dim,
+                     dtype="bfloat16" if args.amp else "float32")
+    model = DEVANetwork(mc)
+    variables = load_variables(model, args.model)
+    cfg = make_inference_config(args)
+    return model, variables, cfg, args
