@@ -1,0 +1,78 @@
+"""Benchmark: steady-state 480p propagation throughput (frames/sec/chip).
+
+Mirrors the reference's measurement harness (CUDA-event timing around
+`processor.step` per frame, reference:evaluation/eval_vos.py:150-185): one
+video stream, 3 objects, default memory config (top_k=30, mem_every=5,
+T_max=10) at 480x864 (480p padded to /16). Data loading is excluded; the
+long-term memory ring is pre-filled by the warmup so the measured region is
+true steady state.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is fps / 30.0 — 30 fps is the assumed reference A100 480p
+propagation throughput (the reference repo publishes no numbers; the driver
+target is >= 3x A100, i.e. vs_baseline >= 3).
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from deva_tpu.config import InferenceConfig, ModelConfig
+    from deva_tpu.inference.core import InferenceCore
+    from deva_tpu.models.network import DEVANetwork
+
+    h, w, num_obj = 480, 864, 3
+    warmup, measure = 60, 60
+
+    dtype = "bfloat16" if "--f32" not in sys.argv else "float32"
+    model = DEVANetwork(ModelConfig(dtype=dtype))
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+        jnp.zeros((1, 1, 32, 32)), jnp.zeros((1, 1, 2, 2, 512)))
+    cfg = InferenceConfig()
+    core = InferenceCore(model, variables, cfg)
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((h, w, 3)).astype(np.float32)
+    frames = [jnp.asarray(base + 0.05 * rng.standard_normal((h, w, 3)),
+                          jnp.float32) for _ in range(8)]
+    frames = [jax.device_put(f) for f in frames]
+    mask0 = np.zeros((h, w), np.int64)
+    mask0[80:240, 100:400] = 1
+    mask0[300:440, 500:800] = 2
+    mask0[60:160, 600:840] = 3
+
+    t_start = time.perf_counter()
+    prob = core.step(frames[0], mask0, objects=[1, 2, 3])
+    jax.block_until_ready(prob)
+    for i in range(1, warmup):
+        prob = core.step(frames[i % len(frames)])
+    jax.block_until_ready(prob)
+    print(f"warmup {warmup} frames in {time.perf_counter() - t_start:.1f}s",
+          file=sys.stderr)
+
+    t0 = time.perf_counter()
+    for i in range(measure):
+        prob = core.step(frames[i % len(frames)])
+    jax.block_until_ready(prob)
+    dt = time.perf_counter() - t0
+
+    fps = measure / dt
+    print(f"steady state: {fps:.2f} fps ({dt / measure * 1e3:.2f} ms/frame), "
+          f"platform={jax.devices()[0].platform}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "480p_propagation_fps_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 30.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -58,10 +58,13 @@ def _round_up(x: int, q: int) -> int:
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
 def _append_tokens(key, shr, sel, use, life, size, new_key, new_shr, new_sel):
     n = new_key.shape[0]
-    key = jax.lax.dynamic_update_slice(key, new_key, (size, 0))
-    shr = jax.lax.dynamic_update_slice(shr, new_shr, (size,))
+    key = jax.lax.dynamic_update_slice(key, new_key.astype(key.dtype),
+                                       (size, 0))
+    shr = jax.lax.dynamic_update_slice(shr, new_shr.astype(shr.dtype),
+                                       (size,))
     if sel is not None:
-        sel = jax.lax.dynamic_update_slice(sel, new_sel, (size, 0))
+        sel = jax.lax.dynamic_update_slice(sel, new_sel.astype(sel.dtype),
+                                           (size, 0))
     if use is not None:
         zeros = jnp.zeros((n,), use.dtype)
         use = jax.lax.dynamic_update_slice(use, zeros, (size,))
@@ -72,7 +75,8 @@ def _append_tokens(key, shr, sel, use, life, size, new_key, new_shr, new_sel):
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _append_values(value, size, new_value):
     # value [O_cap, cap, Cv]; new_value [O_cap, n, Cv]
-    return jax.lax.dynamic_update_slice(value, new_value, (0, size, 0))
+    return jax.lax.dynamic_update_slice(value, new_value.astype(value.dtype),
+                                        (0, size, 0))
 
 
 @functools.partial(jax.jit, static_argnames=("top_k", "return_usage"))

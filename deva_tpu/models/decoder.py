@@ -22,6 +22,7 @@ from deva_tpu.models.blocks import (DecoderFeatureProcessor, GConv2D,
 
 class MaskDecoder(nn.Module):
     val_dim: int = 512
+    pix_feat_dim: int = 512
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -41,7 +42,7 @@ class MaskDecoder(nn.Module):
 
         aux_logits = None
         if need_aux:
-            aux_logits = LinearPredictor(512, dtype=self.dtype,
+            aux_logits = LinearPredictor(self.pix_feat_dim, dtype=self.dtype,
                                          name="sensory_linear_pred")(
                                              f16, sensory)[..., 0]
 
@@ -68,7 +69,7 @@ class MaskDecoder(nn.Module):
         if update_sensory:
             p4_with_logit = jnp.concatenate(
                 [p4, logits_g.astype(p4.dtype)], axis=-1)
-            new_sensory = SensoryUpdater(512, 512, dtype=self.dtype,
+            new_sensory = SensoryUpdater(512, self.val_dim, dtype=self.dtype,
                                          name="sensory_update")(
                                              p16, p8, p4_with_logit, sensory)
 

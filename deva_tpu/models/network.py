@@ -46,7 +46,8 @@ class DEVANetwork(nn.Module):
         self.mask_encoder = MaskEncoder(self.config.value_dim,
                                         self.config.value_dim, dtype=dtype)
         self.key_proj = KeyProjection(self.config.key_dim, dtype=dtype)
-        self.mask_decoder = MaskDecoder(self.config.value_dim, dtype=dtype)
+        self.mask_decoder = MaskDecoder(self.config.value_dim,
+                                        self.config.pix_feat_dim, dtype=dtype)
 
     # ---- sub-computations -------------------------------------------------
 
