@@ -67,6 +67,34 @@ class InferenceCore:
         self._encode_mask = lambda *a: _em(self.variables, *a)
         self._segment_decode = lambda *a: _sd(self.variables, *a)
 
+        # one-shot spatial alignment (consensus):
+        # reference:deva/inference/consensus_associated.py:16-69
+        top_k = config.top_k
+
+        def _align_fn(v, src_img, src_f16, src_key, src_shr, tar_ms, tar_key,
+                      tar_sel, src_mask, selector):
+            from deva_tpu.ops import memory_attention as ma
+            b, hq, wq, ck = src_key.shape
+            o = src_mask.shape[1]
+            cv = model.config.value_dim
+            sensory = jnp.zeros((1, o, hq, wq, cv), jnp.float32)
+            value, sensory = model.apply(v, src_img, src_f16, sensory,
+                                         src_mask, deep_update=True,
+                                         method=DEVANetwork.encode_mask)
+            mk = src_key[0].reshape(hq * wq, ck)
+            ms = src_shr[0].reshape(hq * wq)
+            qk = tar_key[0].reshape(hq * wq, ck)
+            qe = tar_sel[0].reshape(hq * wq, ck)
+            values = value[0].reshape(o, hq * wq, cv)
+            rd = ma.attend(mk, ms, values, qk, qe, top_k=top_k)
+            rd = rd.reshape(1, o, hq, wq, cv)
+            _, _, prob = model.apply(v, tar_ms, rd, sensory, src_mask,
+                                     selector=selector, update_sensory=False,
+                                     method=DEVANetwork.segment)
+            return prob
+
+        self._align = jax.jit(_align_fn)
+
         self.curr_ti = -1
         self.last_mem_ti = 0
         self.object_manager = ObjectManager()
@@ -283,7 +311,111 @@ class InferenceCore:
         logits = aggregate_logits(merged, axis=0)
         return jax.nn.softmax(logits, axis=0)
 
-    # -- online/semi-online buffering (consensus added in the fusion layer) --
+    # -- consensus / detection fusion --------------------------------------
+
+    def spatial_alignment(self, src_ti: int, src_image: np.ndarray,
+                          src_mask: np.ndarray, tar_ti: int,
+                          tar_image: np.ndarray) -> np.ndarray:
+        """Project src_mask [O, H, W] (one-hot float) from the src frame onto
+        the target frame. Inputs are already padded to /16. Returns
+        [1 + O, H, W] probabilities (numpy).
+        reference:deva/inference/consensus_associated.py:16-69."""
+        o = src_mask.shape[0]
+        o_pad = self.cfg.pad_objects(o)
+        src_mask = np.asarray(src_mask, np.float32)
+        if o_pad > o:
+            src_mask = np.pad(src_mask, ((0, o_pad - o), (0, 0), (0, 0)))
+        selector = (jnp.arange(o_pad) < o).astype(jnp.float32)[None]
+
+        src_image_j = jnp.asarray(src_image, jnp.float32)[None]
+        tar_image_j = jnp.asarray(tar_image, jnp.float32)[None]
+        src_ms, src_key, src_shr, _ = self.image_feature_store.get_features(
+            src_ti, src_image_j)
+        tar_ms, tar_key, _, tar_sel = self.image_feature_store.get_features(
+            tar_ti, tar_image_j)
+        prob = self._align(self.variables, src_image_j, src_ms[0], src_key,
+                           src_shr, tar_ms, tar_key, tar_sel,
+                           jnp.asarray(src_mask)[None], selector)
+        return np.asarray(prob[0][:o + 1])
+
+    def vote_in_temporary_buffer(self, keyframe_selection: str = "first"):
+        """Run in-clip consensus over the buffered frames.
+        reference:deva/inference/inference_core.py:118-129."""
+        from deva_tpu.inference.consensus import \
+            find_consensus_auto_association
+        return find_consensus_auto_association(
+            self.frame_buffer, self, keyframe_selection=keyframe_selection)
+
+    def incorporate_detection(self,
+                              image,
+                              new_mask: np.ndarray,
+                              segments_info: List[ObjectInfo],
+                              *,
+                              image_ti_override: Optional[int] = None,
+                              forward_mask: Optional[np.ndarray] = None,
+                              incremental: bool = False) -> jnp.ndarray:
+        """Merge an image-level detection mask (real ids) into the propagated
+        state. Returns aggregated logits [1 + num_obj, H, W], unpadded.
+        reference:deva/inference/inference_core.py:137-198."""
+        from deva_tpu.inference.segment_merging import match_and_merge
+
+        self.curr_ti += 1
+        image_ti = self.curr_ti if image_ti_override is None else \
+            image_ti_override
+
+        image = jnp.asarray(image, jnp.float32)
+        image, self.pad = pad_divide_by(image, 16, 0, 1)
+        image = image[None]
+        new_mask = np.asarray(new_mask)
+        lw, uw, lh, uh = self.pad
+        new_mask = np.pad(new_mask, ((lh, uh), (lw, uw)))
+
+        ms_features, key, shrinkage, selection = \
+            self.image_feature_store.get_features(image_ti, image)
+        if self.memory is None:
+            self._ensure_capacity()
+
+        if forward_mask is None:
+            if self.memory.engaged:
+                prob = self._segment(key, shrinkage, selection, ms_features)
+                n = self.object_manager.num_obj
+                forward_mask = np.argmax(np.asarray(prob[:n + 1]), axis=0)
+            else:
+                forward_mask = np.zeros_like(new_mask)
+
+        merged = match_and_merge(forward_mask, new_mask, self.object_manager,
+                                 segments_info,
+                                 max_num_objects=self.cfg.max_num_objects,
+                                 incremental_mode=incremental)
+
+        purged, tmp_keep, obj_keep = \
+            self.object_manager.purge_inactive_objects(
+                self.cfg.max_missed_detection_count)
+        if purged:
+            self.memory.purge_except(obj_keep)
+            rows = [t - 1 for t in tmp_keep]
+            merged = merged[rows]
+            if self.memory.sensory is not None:
+                keep = jnp.asarray(rows + [0] * (self.o_cap - len(rows)),
+                                   jnp.int32)
+                mask_rows = (jnp.arange(self.o_cap) <
+                             len(rows))[:, None, None, None]
+                self.memory.sensory = jnp.where(
+                    mask_rows, self.memory.sensory[keep], 0.0)
+
+        self._ensure_capacity()
+        n = self.object_manager.num_obj
+        padded = np.zeros((self.o_cap, *merged.shape[-2:]), np.float32)
+        padded[:merged.shape[0]] = merged
+        self.last_mask = jnp.asarray(padded)
+
+        self._add_memory(image, ms_features, self.last_mask, key, shrinkage,
+                         selection)
+        logits = aggregate_logits(jnp.asarray(merged), axis=0)
+        self.image_feature_store.delete(image_ti)
+        return unpad(logits, self.pad, -2, -1)
+
+    # -- online/semi-online buffering ---------------------------------------
 
     def add_to_temporary_buffer(self, frame_info) -> None:
         self.frame_buffer.append(frame_info)
