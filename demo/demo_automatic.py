@@ -1,0 +1,73 @@
+"""Automatic (SAM grid-prompted) tracking over an image folder.
+
+Behavioral anchor: reference:demo/demo_automatic.py.
+"""
+import json
+import os
+import sys
+from argparse import ArgumentParser
+from os import path
+
+import numpy as np
+
+sys.path.insert(0, path.dirname(path.dirname(path.abspath(__file__))))
+
+import dataclasses
+
+from deva_tpu.data.simple_video_reader import SimpleVideoReader
+from deva_tpu.ext.detectors import HFAutomaticSAM
+from deva_tpu.ext.ext_eval_args import add_auto_default_args, add_ext_eval_args
+from deva_tpu.ext.automatic_processor import process_frame_automatic
+from deva_tpu.inference.core import InferenceCore
+from deva_tpu.inference.demo_utils import flush_buffer
+from deva_tpu.inference.eval_args import (add_common_eval_args,
+                                          get_model_and_config)
+from deva_tpu.inference.result_saver import ResultSaver
+
+
+def main():
+    np.random.seed(42)
+    parser = ArgumentParser()
+    add_common_eval_args(parser)
+    add_ext_eval_args(parser)
+    add_auto_default_args(parser)
+    model, variables, cfg, args = get_model_and_config(parser)
+
+    generator = HFAutomaticSAM(
+        args.SAM_HF_PATH,
+        points_per_side=args.SAM_NUM_POINTS_PER_SIDE,
+        points_per_batch=args.SAM_NUM_POINTS_PER_BATCH,
+        pred_iou_thresh=args.SAM_PRED_IOU_THRESHOLD)
+    ext_cfg = vars(args)
+
+    video_reader = SimpleVideoReader(args.img_path)
+    out_path = args.output
+    vid_length = len(video_reader)
+    count_usage = (cfg.enable_long_term and (
+        vid_length / (cfg.max_mid_term_frames - cfg.min_mid_term_frames) *
+        cfg.num_prototypes) >= cfg.max_long_term_elements)
+    cfg = dataclasses.replace(
+        cfg, enable_long_term_count_usage=count_usage,
+        detection_every=args.detection_every,
+        num_voting_frames=args.num_voting_frames,
+        max_missed_detection_count=args.max_missed_detection_count,
+        max_num_objects=args.max_num_objects)
+
+    deva = InferenceCore(model, variables, cfg)
+    deva.enabled_long_id()
+    result_saver = ResultSaver(out_path, None, dataset="demo",
+                               object_manager=deva.object_manager)
+
+    for ti in range(vid_length):
+        frame, _, im_path = video_reader[ti]
+        process_frame_automatic(deva, generator, ext_cfg, im_path,
+                                result_saver, ti, image_np=frame)
+    flush_buffer(deva, result_saver)
+    result_saver.end()
+
+    with open(path.join(out_path, "pred.json"), "w") as f:
+        json.dump(result_saver.video_json, f, indent=4)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""Interactive demo app: text-prompted tracking over an uploaded video with a
+streamed visualization (cv2 VideoCapture -> VideoWriter pipeline).
+
+Behavioral anchor: reference:demo/demo_gradio.py:23-356. The gradio UI is
+optional — without `gradio` installed this runs as a CLI over a video file
+(the same decode->track->encode pipeline the gradio tab drives).
+
+  python demo/demo_gradio.py --video input.mp4 --prompt "person.car" \
+      --output ./out --model saves/DEVA-propagation.pth
+"""
+import json
+import os
+import sys
+import tempfile
+from argparse import ArgumentParser
+from os import path
+
+import numpy as np
+
+sys.path.insert(0, path.dirname(path.dirname(path.abspath(__file__))))
+
+import dataclasses
+
+import cv2
+
+from deva_tpu.ext.detectors import HFGroundedSAM
+from deva_tpu.ext.ext_eval_args import add_ext_eval_args, add_text_default_args
+from deva_tpu.ext.with_text_processor import process_frame_with_text
+from deva_tpu.inference.core import InferenceCore
+from deva_tpu.inference.demo_utils import flush_buffer
+from deva_tpu.inference.eval_args import (add_common_eval_args,
+                                          get_model_and_config)
+from deva_tpu.inference.result_saver import ResultSaver
+
+
+def track_video(model, variables, cfg, ext_cfg, detector, video_path: str,
+                out_dir: str, max_frames: int = -1) -> str:
+    """Decode -> track -> encode. Returns the output video path."""
+    cap = cv2.VideoCapture(video_path)
+    fps = cap.get(cv2.CAP_PROP_FPS) or 24
+    n_total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    vid_length = n_total if max_frames <= 0 else min(n_total, max_frames)
+
+    count_usage = (cfg.enable_long_term and (
+        vid_length / (cfg.max_mid_term_frames - cfg.min_mid_term_frames) *
+        cfg.num_prototypes) >= cfg.max_long_term_elements)
+    cfg = dataclasses.replace(cfg, enable_long_term_count_usage=count_usage)
+
+    deva = InferenceCore(model, variables, cfg)
+    deva.enabled_long_id()
+    result_saver = ResultSaver(out_dir, None, dataset="gradio",
+                               object_manager=deva.object_manager)
+    os.makedirs(out_dir, exist_ok=True)
+    out_video = path.join(out_dir, "tracked.mp4")
+    writer = None
+
+    ti = 0
+    while ti < vid_length:
+        ok, frame_bgr = cap.read()
+        if not ok:
+            break
+        frame = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB)
+        if writer is None:
+            h, w = frame.shape[:2]
+            writer = cv2.VideoWriter(out_video,
+                                     cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                                     (w, h))
+            result_saver.writer = writer
+        process_frame_with_text(deva, detector, ext_cfg,
+                                f"{ti:07d}.jpg", result_saver, ti,
+                                image_np=frame)
+        ti += 1
+    flush_buffer(deva, result_saver,
+                 prompts=[p for p in ext_cfg["prompt"].split(".")
+                          if p.strip()])
+    result_saver.end()
+    cap.release()
+    if writer is not None:
+        writer.release()
+    return out_video
+
+
+def main():
+    np.random.seed(42)
+    parser = ArgumentParser()
+    parser.add_argument("--video", help="input video file (CLI mode)")
+    parser.add_argument("--max_frames", type=int, default=-1)
+    parser.add_argument("--serve", action="store_true",
+                        help="launch the gradio UI (requires gradio)")
+    add_common_eval_args(parser)
+    add_ext_eval_args(parser)
+    add_text_default_args(parser)
+    model, variables, cfg, args = get_model_and_config(parser)
+    cfg = dataclasses.replace(
+        cfg, detection_every=args.detection_every,
+        num_voting_frames=args.num_voting_frames,
+        max_missed_detection_count=args.max_missed_detection_count,
+        max_num_objects=args.max_num_objects)
+    ext_cfg = vars(args)
+    detector = HFGroundedSAM(args.GROUNDING_DINO_HF_PATH, args.SAM_HF_PATH)
+
+    if args.serve:
+        try:
+            import gradio as gr
+        except ImportError:
+            raise SystemExit("gradio is not installed; run in CLI mode with "
+                             "--video instead")
+
+        def run(video, prompt, max_frames):
+            ext = dict(ext_cfg, prompt=prompt)
+            with tempfile.TemporaryDirectory() as d:
+                return track_video(model, variables, cfg, ext, detector,
+                                   video, d, int(max_frames))
+
+        gr.Interface(fn=run,
+                     inputs=[gr.Video(), gr.Text(), gr.Number(value=-1)],
+                     outputs=gr.Video(),
+                     title="deva_tpu: text-prompted tracking").launch()
+    else:
+        assert args.video, "--video is required in CLI mode"
+        out = track_video(model, variables, cfg, ext_cfg, detector,
+                          args.video, args.output, args.max_frames)
+        print(f"Output video: {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -110,6 +110,7 @@ class InferenceCore:
         self.last_mask: Optional[jnp.ndarray] = None  # [O_cap, H, W] probs
         self.pad: Tuple[int, int, int, int] = (0, 0, 0, 0)
         self.frame_buffer: List = []  # online/semi-online buffering
+        self.next_voting_frame = config.num_voting_frames - 1
 
     # -- object-slot management -------------------------------------------
 
