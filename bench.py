@@ -48,19 +48,29 @@ def main():
     mask0[300:440, 500:800] = 2
     mask0[60:160, 600:840] = 3
 
+    chunk = 10  # frames per launch (lax.scan inside one compiled program)
+
     t_start = time.perf_counter()
     prob = core.step(frames[0], mask0, objects=[1, 2, 3])
-    jax.block_until_ready(prob)
-    for i in range(1, warmup):
-        prob = core.step(frames[i % len(frames)])
-    jax.block_until_ready(prob)
-    print(f"warmup {warmup} frames in {time.perf_counter() - t_start:.1f}s",
+    i = 1
+    while i < warmup:
+        probs = core.step_chunk([frames[(i + j) % len(frames)]
+                                 for j in range(chunk)])
+        i += chunk
+    # honest sync: a host readback forces the whole dependency chain (under
+    # the axon relay, block_until_ready alone returns early)
+    _ = float(probs[-1][0, 0, 0])
+    print(f"warmup {i} frames in {time.perf_counter() - t_start:.1f}s",
           file=sys.stderr)
 
     t0 = time.perf_counter()
-    for i in range(measure):
-        prob = core.step(frames[i % len(frames)])
-    jax.block_until_ready(prob)
+    done = 0
+    while done < measure:
+        probs = core.step_chunk([frames[(done + j) % len(frames)]
+                                 for j in range(chunk)])
+        done += chunk
+    _ = float(probs[-1][0, 0, 0])
+    measure = done
     dt = time.perf_counter() - t0
 
     fps = measure / dt

@@ -112,6 +112,9 @@ class InferenceCore:
         self.frame_buffer: List = []  # online/semi-online buffering
         self.next_voting_frame = config.num_voting_frames - 1
 
+        from deva_tpu.inference.fused_step import FusedStepper
+        self._fused = FusedStepper(model, config.top_k)
+
     # -- object-slot management -------------------------------------------
 
     def enabled_long_id(self) -> None:
@@ -224,12 +227,18 @@ class InferenceCore:
         image_ti = self.curr_ti if image_ti_override is None else \
             image_ti_override
 
+        is_mem_frame = ((self.curr_ti - self.last_mem_ti >= self.mem_every)
+                        or (mask is not None)) and (not end)
+
+        fused = self._try_fused_step(image, mask, is_mem_frame, end,
+                                     image_ti_override, delete_buffer)
+        if fused is not None:
+            return fused
+
         image = jnp.asarray(image, jnp.float32)
         image, self.pad = pad_divide_by(image, 16, 0, 1)
         image = image[None]
 
-        is_mem_frame = ((self.curr_ti - self.last_mem_ti >= self.mem_every)
-                        or (mask is not None)) and (not end)
         need_segment = (mask is None) or (
             self.object_manager.num_obj > 0
             and not self.object_manager.has_all(list(objects or [])))
@@ -269,6 +278,138 @@ class InferenceCore:
             self.image_feature_store.delete(image_ti)
 
         return unpad(pred_prob_with_bg[:n + 1], self.pad, -2, -1)
+
+    def _try_fused_step(self, image, mask, is_mem_frame: bool, end: bool,
+                        image_ti_override, delete_buffer: bool):
+        """The single-compiled-program fast path for plain propagation frames
+        (one bucket, identity row order, no input mask). Returns the sliced
+        probabilities or None when the general path must run."""
+        if mask is not None or image_ti_override is not None or \
+                not delete_buffer:
+            return None
+        if self.memory is None or not self.memory.engaged or \
+                self.last_mask is None:
+            return None
+        if len(self.memory.buckets) != 1:
+            return None
+        (bid, bucket), = self.memory.buckets.items()
+        if bucket.obj_ids != self.object_manager.all_obj_ids or \
+                bucket.o_cap != self.o_cap:
+            return None
+        lt = self.memory.long_buckets.get(bid)
+        if self.memory.long_buckets and lt is None:
+            return None
+
+        image = jnp.asarray(image, jnp.float32)
+        h, w = image.shape[:2]
+        hw_tokens = (-(-h // 16)) * (-(-w // 16))
+        if is_mem_frame:
+            limit = self.memory.max_work_tokens \
+                if self.memory.use_long_term else None
+            bucket.ensure_capacity(hw_tokens, hw_tokens, limit=limit)
+
+        prob, new_sensory, new_last_mask = self._fused(
+            self.variables, image, self.object_manager.num_obj, bucket, lt,
+            self.memory.get_sensory(), self.last_mask,
+            mem_write=is_mem_frame, update_sensory=not end,
+            work_usage=self.memory.use_long_term,
+            count_lt_usage=self.memory.count_long_term_usage)
+        self.memory.update_sensory(new_sensory)
+        self.last_mask = new_last_mask
+        if is_mem_frame:
+            self.last_mem_ti = self.curr_ti
+            self.memory.maybe_consolidate()
+        n = self.object_manager.num_obj
+        return prob[:n + 1]
+
+    def step_chunk(self, images, *, end: bool = False):
+        """Propagate several maskless frames in ONE compiled launch
+        (lax.scan over the fused step). Semantically identical to calling
+        step() per frame; falls back to that when the fast path is not
+        eligible (multi-bucket, pending consolidation mid-chunk, end-of-video
+        sensory freeze on the last frame).
+
+        images: list/array of [H, W, 3] frames.
+        Returns a list of per-frame probabilities [1 + num_obj, H, W].
+        """
+        images = list(images)
+        if not images:
+            return []
+
+        eligible = (self.memory is not None and self.memory.engaged
+                    and self.last_mask is not None
+                    and len(self.memory.buckets) == 1)
+        if eligible:
+            (bid, bucket), = self.memory.buckets.items()
+            eligible = (bucket.obj_ids == self.object_manager.all_obj_ids
+                        and bucket.o_cap == self.o_cap)
+            lt = self.memory.long_buckets.get(bid)
+            if self.memory.long_buckets and lt is None:
+                eligible = False
+        if not eligible:
+            out = []
+            for i, img in enumerate(images):
+                out.append(self.step(img, end=end and i == len(images) - 1))
+            return out
+
+        h, w = np.asarray(images[0]).shape[:2]
+        hw_tokens = (-(-h // 16)) * (-(-w // 16))
+        max_work = self.memory.max_work_tokens \
+            if self.memory.use_long_term else None
+
+        out = []
+        i = 0
+        while i < len(images):
+            # plan the longest chunk that (a) fits capacity, (b) ends before
+            # a consolidation would trigger, (c) leaves an end-frame for the
+            # sensory-freeze path
+            writes = []
+            size = bucket.size
+            last_mem = self.last_mem_ti
+            j = i
+            while j < len(images):
+                ti = self.curr_ti + 1 + (j - i)
+                is_end = end and j == len(images) - 1
+                if is_end:
+                    break
+                write = (ti - last_mem) >= self.mem_every
+                writes.append(write)
+                if write:
+                    last_mem = ti
+                    size += hw_tokens
+                    if max_work is not None and size >= max_work:
+                        j += 1
+                        break  # consolidation must run before the next frame
+                j += 1
+            if not writes:
+                out.append(self.step(images[i], end=True))
+                i += 1
+                continue
+
+            k = len(writes)
+            n_writes = sum(writes)
+            if n_writes:
+                bucket.ensure_capacity(n_writes * hw_tokens, hw_tokens,
+                                       limit=max_work)
+            frames = jnp.stack([jnp.asarray(im, jnp.float32)
+                                for im in images[i:i + k]])
+            probs, new_sensory, new_last_mask = self._fused.run_chunk(
+                self.variables, frames, writes, self.object_manager.num_obj,
+                bucket, lt, self.memory.get_sensory(), self.last_mask,
+                work_usage=self.memory.use_long_term,
+                count_lt_usage=self.memory.count_long_term_usage)
+            self.memory.update_sensory(new_sensory)
+            self.last_mask = new_last_mask
+            self.curr_ti += k
+            if n_writes:
+                self.last_mem_ti = last_mem
+                self.memory.maybe_consolidate()
+                lt = self.memory.long_buckets.get(bid)
+            n = self.object_manager.num_obj
+            for t in range(k):
+                out.append(probs[t, :n + 1])
+            i += k
+        return out
 
     def _merge_input_mask(self, mask, objects, hard_mask: bool,
                           need_segment: bool, pred_prob_with_bg):

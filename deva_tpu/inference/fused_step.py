@@ -1,0 +1,350 @@
+"""Fused per-frame propagation step: one compiled XLA program per frame.
+
+The composed path (InferenceCore._segment + MemoryEngine.match_memory + ...)
+dispatches many small device calls per frame; on TPU the dispatch/roundtrip
+overhead dominates the (sub-millisecond) kernels. This module fuses the whole
+hot path for the common case — propagate a frame with no input mask, a single
+working-memory bucket in identity row order, optional long-term ring — into a
+single jitted function:
+
+    pad -> encode -> key projection -> masked top-k attention over the rings
+    -> decode -> aggregate/upsample -> (optionally) encode mask value and
+    append one frame of tokens to the rings, all in one XLA program.
+
+Semantics are identical to the composed path (same sub-functions); the parity
+tests exercise both. Static variants are cached per
+(mem_write, update_sensory, long-term on/off, usage counting).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from deva_tpu.models.network import DEVANetwork
+from deva_tpu.ops import memory_attention as ma
+from deva_tpu.ops.pad import pad_amounts
+from deva_tpu.inference.memory import _readout_token_major
+
+
+class FusedStepper:
+    def __init__(self, model: DEVANetwork, top_k: int):
+        self.model = model
+        self.top_k = top_k
+        self._cache: Dict = {}
+
+    def _build(self, mem_write: bool, update_sensory: bool, use_lt: bool,
+               work_usage: bool, count_lt_usage: bool):
+        model = self.model
+        top_k = self.top_k
+
+        def fn(variables, image, pads, num_obj,
+               key_ring, shr_ring, sel_ring, value_ring, use_cnt, life_cnt,
+               size, lt_key, lt_shr, lt_value, lt_use, lt_life, lt_size,
+               sensory, last_mask):
+            # image [H, W, 3] unpadded; pads static (lw, uw, lh, uh)
+            lw, uw, lh, uh = pads
+            padded = jnp.pad(image, ((lh, uh), (lw, uw), (0, 0)))[None]
+            ms, key_feat = model.apply(variables, padded,
+                                       method=DEVANetwork.encode_image)
+            key, shrinkage, selection = model.apply(
+                variables, key_feat, method=DEVANetwork.transform_key)
+            b, hq, wq, ck = key.shape
+            qk = key[0].reshape(hq * wq, ck)
+            qe = selection[0].reshape(hq * wq, ck)
+
+            cap = key_ring.shape[0]
+            if use_lt:
+                lcap = lt_key.shape[0]
+                valid = jnp.concatenate([jnp.arange(lcap) < lt_size,
+                                         jnp.arange(cap) < size])
+                sim = ma.get_similarity(
+                    jnp.concatenate([lt_key, key_ring], 0),
+                    jnp.concatenate([lt_shr, shr_ring], 0), qk, qe)
+                aff, usage = ma.topk_softmax(sim, top_k, valid,
+                                             return_usage=True)
+                rd = _readout_token_major(
+                    aff, jnp.concatenate([lt_value, value_ring], 0))
+                lt_usage, work_usage_arr = usage[:lcap], usage[lcap:]
+            else:
+                valid = jnp.arange(cap) < size
+                sim = ma.get_similarity(key_ring, shr_ring, qk, qe)
+                if work_usage:
+                    aff, work_usage_arr = ma.topk_softmax(
+                        sim, top_k, valid, return_usage=True)
+                else:
+                    aff = ma.topk_softmax(sim, top_k, valid)
+                rd = _readout_token_major(aff, value_ring)
+
+            if work_usage:
+                valid_w = jnp.arange(cap) < size
+                use_cnt = use_cnt + jnp.where(valid_w, work_usage_arr, 0.0)
+                life_cnt = life_cnt + jnp.where(valid_w, 1.0, 0.0)
+            if use_lt and count_lt_usage:
+                valid_l = jnp.arange(lt_key.shape[0]) < lt_size
+                lt_use = lt_use + jnp.where(valid_l, lt_usage, 0.0)
+                lt_life = lt_life + jnp.where(valid_l, 1.0, 0.0)
+
+            o_cap = sensory.shape[0]
+            readout = rd.reshape(1, o_cap, hq, wq, -1)
+            selector = (jnp.arange(o_cap) < num_obj).astype(jnp.float32)[None]
+            new_sensory, _, prob = model.apply(
+                variables, ms, readout, sensory[None], last_mask[None],
+                selector=selector, update_sensory=update_sensory,
+                method=DEVANetwork.segment)
+            new_sensory = new_sensory[0] if update_sensory else sensory
+            new_last_mask = prob[0, 1:]
+
+            if mem_write:
+                value, deep_sensory = model.apply(
+                    variables, padded, ms[0], new_sensory[None],
+                    new_last_mask[None], deep_update=True,
+                    method=DEVANetwork.encode_mask)
+                new_sensory = deep_sensory[0]
+                new_key = key[0].reshape(hq * wq, ck)
+                new_shr = shrinkage[0].reshape(hq * wq)
+                new_sel = qe if sel_ring is not None else None
+                vals = value[0].reshape(o_cap, hq * wq, -1).transpose(1, 0, 2)
+                key_ring = jax.lax.dynamic_update_slice(
+                    key_ring, new_key.astype(key_ring.dtype), (size, 0))
+                shr_ring = jax.lax.dynamic_update_slice(
+                    shr_ring, new_shr.astype(shr_ring.dtype), (size,))
+                if sel_ring is not None:
+                    sel_ring = jax.lax.dynamic_update_slice(
+                        sel_ring, new_sel.astype(sel_ring.dtype), (size, 0))
+                value_ring = jax.lax.dynamic_update_slice(
+                    value_ring, vals.astype(value_ring.dtype), (size, 0, 0))
+                if use_cnt is not None:
+                    zeros = jnp.zeros((hq * wq,), use_cnt.dtype)
+                    use_cnt = jax.lax.dynamic_update_slice(
+                        use_cnt, zeros, (size,))
+                    life_cnt = jax.lax.dynamic_update_slice(
+                        life_cnt, zeros + 1e-7, (size,))
+
+            # unpad the probabilities (static slice)
+            h, w = image.shape[:2]
+            prob_out = prob[0, :, lh:lh + h, lw:lw + w]
+            return (prob_out, new_sensory, new_last_mask, key_ring, shr_ring,
+                    sel_ring, value_ring, use_cnt, life_cnt, lt_use, lt_life)
+
+        # pads/static config via static_argnums; donate the rings that are
+        # rewritten so mem-write frames update in place
+        donate = (4, 5, 6, 7, 8, 9) if mem_write else ()
+        return jax.jit(fn, static_argnums=(2,), donate_argnums=donate)
+
+    # -- multi-frame chunks ---------------------------------------------------
+
+    def _build_chunk(self, use_lt: bool, work_usage: bool,
+                     count_lt_usage: bool):
+        """A lax.scan over frames inside ONE compiled program: each step is
+        the fused propagate body, with the memory write selected per frame by
+        a traced flag (lax.cond). Amortizes per-launch dispatch overhead
+        across the chunk — the single biggest throughput lever on remote-
+        dispatch TPU setups, and a net win on-device too."""
+        model = self.model
+        top_k = self.top_k
+
+        def step_body(variables, pads, num_obj, carry, frame, write):
+            (key_ring, shr_ring, sel_ring, value_ring, use_cnt, life_cnt,
+             size, lt_key, lt_shr, lt_value, lt_use, lt_life, lt_size,
+             sensory, last_mask) = carry
+            lw, uw, lh, uh = pads
+            padded = jnp.pad(frame, ((lh, uh), (lw, uw), (0, 0)))[None]
+            ms, key_feat = model.apply(variables, padded,
+                                       method=DEVANetwork.encode_image)
+            key, shrinkage, selection = model.apply(
+                variables, key_feat, method=DEVANetwork.transform_key)
+            b, hq, wq, ck = key.shape
+            qk = key[0].reshape(hq * wq, ck)
+            qe = selection[0].reshape(hq * wq, ck)
+
+            cap = key_ring.shape[0]
+            if use_lt:
+                lcap = lt_key.shape[0]
+                valid = jnp.concatenate([jnp.arange(lcap) < lt_size,
+                                         jnp.arange(cap) < size])
+                sim = ma.get_similarity(
+                    jnp.concatenate([lt_key, key_ring], 0),
+                    jnp.concatenate([lt_shr, shr_ring], 0), qk, qe)
+                aff, usage = ma.topk_softmax(sim, top_k, valid,
+                                             return_usage=True)
+                rd = _readout_token_major(
+                    aff, jnp.concatenate([lt_value, value_ring], 0))
+                lt_usage, work_usage_arr = usage[:lcap], usage[lcap:]
+            else:
+                valid = jnp.arange(cap) < size
+                sim = ma.get_similarity(key_ring, shr_ring, qk, qe)
+                if work_usage:
+                    aff, work_usage_arr = ma.topk_softmax(
+                        sim, top_k, valid, return_usage=True)
+                else:
+                    aff = ma.topk_softmax(sim, top_k, valid)
+                rd = _readout_token_major(aff, value_ring)
+
+            if work_usage:
+                valid_w = jnp.arange(cap) < size
+                use_cnt = use_cnt + jnp.where(valid_w, work_usage_arr, 0.0)
+                life_cnt = life_cnt + jnp.where(valid_w, 1.0, 0.0)
+            if use_lt and count_lt_usage:
+                valid_l = jnp.arange(lt_key.shape[0]) < lt_size
+                lt_use = lt_use + jnp.where(valid_l, lt_usage, 0.0)
+                lt_life = lt_life + jnp.where(valid_l, 1.0, 0.0)
+
+            o_cap = sensory.shape[0]
+            readout = rd.reshape(1, o_cap, hq, wq, -1)
+            selector = (jnp.arange(o_cap) < num_obj).astype(jnp.float32)[None]
+            new_sensory, _, prob = model.apply(
+                variables, ms, readout, sensory[None], last_mask[None],
+                selector=selector, update_sensory=True,
+                method=DEVANetwork.segment)
+            new_sensory = new_sensory[0]
+            new_last_mask = prob[0, 1:]
+
+            def do_write(args):
+                (key_ring, shr_ring, sel_ring, value_ring, use_cnt, life_cnt,
+                 size, sensory_in) = args
+                value, deep_sensory = model.apply(
+                    variables, padded, ms[0], sensory_in[None],
+                    new_last_mask[None], deep_update=True,
+                    method=DEVANetwork.encode_mask)
+                vals = value[0].reshape(o_cap, hq * wq, -1).transpose(1, 0, 2)
+                key_ring = jax.lax.dynamic_update_slice(
+                    key_ring, qk.astype(key_ring.dtype), (size, 0))
+                shr_ring = jax.lax.dynamic_update_slice(
+                    shr_ring, shrinkage[0].reshape(hq * wq).astype(
+                        shr_ring.dtype), (size,))
+                if sel_ring is not None:
+                    sel_ring2 = jax.lax.dynamic_update_slice(
+                        sel_ring, qe.astype(sel_ring.dtype), (size, 0))
+                else:
+                    sel_ring2 = sel_ring
+                value_ring = jax.lax.dynamic_update_slice(
+                    value_ring, vals.astype(value_ring.dtype), (size, 0, 0))
+                if use_cnt is not None:
+                    zeros = jnp.zeros((hq * wq,), use_cnt.dtype)
+                    use_cnt = jax.lax.dynamic_update_slice(use_cnt, zeros,
+                                                           (size,))
+                    life_cnt = jax.lax.dynamic_update_slice(
+                        life_cnt, zeros + 1e-7, (size,))
+                return (key_ring, shr_ring, sel_ring2, value_ring, use_cnt,
+                        life_cnt, size + hq * wq, deep_sensory[0])
+
+            def no_write(args):
+                (key_ring, shr_ring, sel_ring, value_ring, use_cnt, life_cnt,
+                 size, sensory_in) = args
+                return (key_ring, shr_ring, sel_ring, value_ring, use_cnt,
+                        life_cnt, size, sensory_in)
+
+            (key_ring, shr_ring, sel_ring, value_ring, use_cnt, life_cnt,
+             size, new_sensory) = jax.lax.cond(
+                write, do_write, no_write,
+                (key_ring, shr_ring, sel_ring, value_ring, use_cnt, life_cnt,
+                 size, new_sensory))
+
+            h_img, w_img = frame.shape[:2]
+            prob_out = prob[0, :, lh:lh + h_img, lw:lw + w_img]
+            new_carry = (key_ring, shr_ring, sel_ring, value_ring, use_cnt,
+                         life_cnt, size, lt_key, lt_shr, lt_value, lt_use,
+                         lt_life, lt_size, new_sensory, new_last_mask)
+            return new_carry, prob_out
+
+        def fn(variables, frames, writes, pads, num_obj,
+               key_ring, shr_ring, sel_ring, value_ring, use_cnt, life_cnt,
+               size, lt_key, lt_shr, lt_value, lt_use, lt_life, lt_size,
+               sensory, last_mask):
+            carry = (key_ring, shr_ring, sel_ring, value_ring, use_cnt,
+                     life_cnt, size, lt_key, lt_shr, lt_value, lt_use,
+                     lt_life, lt_size, sensory, last_mask)
+            carry, probs = jax.lax.scan(
+                lambda c, x: step_body(variables, pads, num_obj, c,
+                                       x[0], x[1]),
+                carry, (frames, writes))
+            return carry, probs
+
+        return jax.jit(fn, static_argnums=(3,),
+                       donate_argnums=(5, 6, 7, 8, 9, 10))
+
+    def run_chunk(self, variables, frames, writes, num_obj, bucket, lt,
+                  sensory, last_mask, *, work_usage: bool,
+                  count_lt_usage: bool):
+        """frames: [K, H, W, 3] device array; writes: [K] bool. Updates
+        bucket/lt in place, returns (probs [K, 1+O_cap, H, W], sensory,
+        last_mask)."""
+        use_lt = lt is not None and lt.size > 0
+        h, w = frames.shape[1:3]
+        pads = pad_amounts(h, w, 16)
+        cache_key = ("chunk", use_lt, work_usage,
+                     count_lt_usage and use_lt)
+        if cache_key not in self._cache:
+            self._cache[cache_key] = self._build_chunk(
+                use_lt, work_usage, count_lt_usage and use_lt)
+        fn = self._cache[cache_key]
+
+        if use_lt:
+            lt_args = (lt.key, lt.shrinkage, lt.value, lt.use_cnt,
+                       lt.life_cnt, lt.size)
+        else:
+            lt_args = (jnp.zeros((0, bucket.key.shape[1])), jnp.zeros((0,)),
+                       jnp.zeros((0, *bucket.value.shape[1:])), None, None, 0)
+
+        import numpy as np
+        writes_np = np.asarray(writes, bool)
+        carry, probs = fn(variables, frames, jnp.asarray(writes_np), pads,
+                          num_obj,
+                          bucket.key, bucket.shrinkage, bucket.selection,
+                          bucket.value, bucket.use_cnt, bucket.life_cnt,
+                          bucket.size, *lt_args, sensory, last_mask)
+        (bucket.key, bucket.shrinkage, bucket.selection, bucket.value,
+         bucket.use_cnt, bucket.life_cnt, _size, _lk, _ls, _lv, lt_use,
+         lt_life, _lsize, new_sensory, new_last_mask) = carry
+        n_writes = int(writes_np.sum())
+        hw_tokens = ((h + pads[2] + pads[3]) // 16) * \
+            ((w + pads[0] + pads[1]) // 16)
+        bucket.size += n_writes * hw_tokens
+        if use_lt and count_lt_usage:
+            lt.use_cnt, lt.life_cnt = lt_use, lt_life
+        return probs, new_sensory, new_last_mask
+
+    def __call__(self, variables, image, num_obj, bucket, lt,
+                 sensory, last_mask, *, mem_write: bool, update_sensory: bool,
+                 work_usage: bool, count_lt_usage: bool):
+        """Runs the fused step and writes results back into bucket/lt.
+        Returns (prob [1+O_cap, H, W], new_sensory, new_last_mask)."""
+        use_lt = lt is not None and lt.size > 0
+        h, w = image.shape[:2]
+        pads = pad_amounts(h, w, 16)
+        cache_key = (mem_write, update_sensory, use_lt, work_usage,
+                     count_lt_usage and use_lt)
+        if cache_key not in self._cache:
+            self._cache[cache_key] = self._build(
+                mem_write, update_sensory, use_lt, work_usage,
+                count_lt_usage and use_lt)
+        fn = self._cache[cache_key]
+
+        if use_lt:
+            lt_args = (lt.key, lt.shrinkage, lt.value, lt.use_cnt,
+                       lt.life_cnt, lt.size)
+        else:
+            z = jnp.zeros((0,))
+            lt_args = (jnp.zeros((0, bucket.key.shape[1])), z,
+                       jnp.zeros((0, *bucket.value.shape[1:])), None, None, 0)
+
+        (prob, new_sensory, new_last_mask, key_ring, shr_ring, sel_ring,
+         value_ring, use_cnt, life_cnt, lt_use, lt_life) = fn(
+            variables, image, pads, num_obj,
+            bucket.key, bucket.shrinkage, bucket.selection, bucket.value,
+            bucket.use_cnt, bucket.life_cnt, bucket.size, *lt_args,
+            sensory, last_mask)
+
+        if mem_write:
+            bucket.key, bucket.shrinkage = key_ring, shr_ring
+            bucket.selection, bucket.value = sel_ring, value_ring
+            lw, uw, lh, uh = pads
+            bucket.size += ((h + lh + uh) // 16) * ((w + lw + uw) // 16)
+        if work_usage:
+            bucket.use_cnt, bucket.life_cnt = use_cnt, life_cnt
+        if use_lt and count_lt_usage:
+            lt.use_cnt, lt.life_cnt = lt_use, lt_life
+        return prob, new_sensory, new_last_mask

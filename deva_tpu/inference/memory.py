@@ -74,9 +74,19 @@ def _append_tokens(key, shr, sel, use, life, size, new_key, new_shr, new_sel):
 
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _append_values(value, size, new_value):
-    # value [O_cap, cap, Cv]; new_value [O_cap, n, Cv]
+    # value [cap, O_cap, Cv] (token-major: appends and the readout matmul
+    # both want tokens on the leading axis); new_value [n, O_cap, Cv]
     return jax.lax.dynamic_update_slice(value, new_value.astype(value.dtype),
-                                        (0, size, 0))
+                                        (size, 0, 0))
+
+
+def _readout_token_major(aff: jnp.ndarray, value: jnp.ndarray) -> jnp.ndarray:
+    """aff [Q, N]; value [N, O, Cv] -> [O, Q, Cv] via one [Q,N]@[N,O*Cv]
+    matmul (MXU-shaped; bf16 rings accumulate in f32)."""
+    n, o, cv = value.shape
+    out = jax.lax.dot(aff.astype(value.dtype), value.reshape(n, o * cv),
+                      preferred_element_type=jnp.float32)
+    return out.reshape(aff.shape[0], o, cv).transpose(1, 0, 2)
 
 
 @functools.partial(jax.jit, static_argnames=("top_k", "return_usage"))
@@ -86,9 +96,9 @@ def _bucket_attend(key, shr, value, size, qk, qe, top_k, return_usage):
     sim = ma.get_similarity(key, shr, qk, qe)
     if return_usage:
         aff, usage = ma.topk_softmax(sim, top_k, valid, return_usage=True)
-        return ma.readout(aff, value), usage
+        return _readout_token_major(aff, value), usage
     aff = ma.topk_softmax(sim, top_k, valid)
-    return ma.readout(aff, value)
+    return _readout_token_major(aff, value)
 
 
 @functools.partial(jax.jit, static_argnames=("top_k",))
@@ -102,7 +112,7 @@ def _bucket_attend_with_long(lt_key, lt_shr, lt_value, lt_size,
     sim = ma.get_similarity(jnp.concatenate([lt_key, key], axis=0),
                             jnp.concatenate([lt_shr, shr], axis=0), qk, qe)
     aff, usage = ma.topk_softmax(sim, top_k, valid, return_usage=True)
-    rd = ma.readout(aff, jnp.concatenate([lt_value, value], axis=1))
+    rd = _readout_token_major(aff, jnp.concatenate([lt_value, value], axis=0))
     return rd, usage[:lcap], usage[lcap:]
 
 
@@ -118,13 +128,14 @@ def _consolidate_prototypes(cand_key, cand_shr, cand_sel, cand_value,
                             cand_usage, num_prototypes):
     """Select top-usage prototypes and potentiate: full-softmax readout of the
     candidate values at the prototype queries.
-    reference:memory_manager.py:251-276."""
+    reference:memory_manager.py:251-276. cand_value is token-major [N, O, Cv];
+    the returned prototype values are token-major [P, O, Cv]."""
     _, idx = jax.lax.top_k(cand_usage, num_prototypes)
     proto_key = cand_key[idx]              # [P, Ck]
     proto_sel = cand_sel[idx]              # [P, Ck]
     sim = ma.get_similarity(cand_key, cand_shr, proto_key, proto_sel)  # [P, N]
     aff = ma.full_softmax(sim)
-    proto_value = ma.readout(aff, cand_value)         # [O_cap, P, Cv]
+    proto_value = _readout_token_major(aff, cand_value).transpose(1, 0, 2)
     proto_shr = ma.readout(aff, cand_shr[None, :, None])[0, :, 0]  # [P]
     return proto_key, proto_shr, proto_value
 
@@ -152,7 +163,8 @@ class Bucket:
         self.key = jnp.zeros((cap, ck), dtype)
         self.shrinkage = jnp.zeros((cap,), dtype)
         self.selection = jnp.zeros((cap, ck), dtype) if save_selection else None
-        self.value = jnp.zeros((o_cap, cap, cv), dtype)
+        # token-major: [cap, O_cap, Cv]
+        self.value = jnp.zeros((cap, o_cap, cv), dtype)
         self.use_cnt = jnp.zeros((cap,), jnp.float32) if save_usage else None
         self.life_cnt = jnp.zeros((cap,), jnp.float32) if save_usage else None
 
@@ -176,20 +188,21 @@ class Bucket:
         self.shrinkage = _grow(self.shrinkage, new_cap, 0)
         if self.selection is not None:
             self.selection = _grow(self.selection, new_cap, 0)
-        self.value = _grow(self.value, new_cap, 1)
+        self.value = _grow(self.value, new_cap, 0)
         if self.use_cnt is not None:
             self.use_cnt = _grow(self.use_cnt, new_cap, 0)
             self.life_cnt = _grow(self.life_cnt, new_cap, 0)
 
     def keep_objects(self, keep: List[int]) -> None:
-        """Drop value rows of objects not in `keep` (order preserved)."""
+        """Drop value columns of objects not in `keep` (order preserved;
+        value is token-major [cap, O_cap, Cv])."""
         new_ids = [o for o in self.obj_ids if o in keep]
         if new_ids == self.obj_ids:
             return
         rows = [self.obj_ids.index(o) for o in new_ids]
         idx = jnp.asarray(rows + [0] * (self.o_cap - len(rows)), jnp.int32)
-        keep_mask = (jnp.arange(self.o_cap) < len(rows))[:, None, None]
-        self.value = jnp.where(keep_mask, self.value[idx], 0)
+        keep_mask = (jnp.arange(self.o_cap) < len(rows))[None, :, None]
+        self.value = jnp.where(keep_mask, self.value[:, idx], 0)
         self.obj_ids = new_ids
 
 
@@ -201,7 +214,7 @@ class LongTermBucket:
         self.size = 0
         self.key = jnp.zeros((cap, ck), dtype)
         self.shrinkage = jnp.zeros((cap,), dtype)
-        self.value = jnp.zeros((o_cap, cap, cv), dtype)
+        self.value = jnp.zeros((cap, o_cap, cv), dtype)  # token-major
         self.use_cnt = jnp.zeros((cap,), jnp.float32) if save_usage else None
         self.life_cnt = jnp.zeros((cap,), jnp.float32) if save_usage else None
 
@@ -301,25 +314,32 @@ class MemoryEngine:
             b.ensure_capacity(hw, hw, limit=limit)
             rows = [row_of[o] for o in b.obj_ids]
             idx = jnp.asarray(rows + [0] * (b.o_cap - len(rows)), jnp.int32)
-            vals = value[idx]  # [o_cap_b, HW, Cv]; padded rows harmless
+            # token-major [HW, o_cap_b, Cv]; padded columns harmless
+            vals = value[idx].transpose(1, 0, 2)
             b.key, b.shrinkage, b.selection, b.use_cnt, b.life_cnt = \
                 _append_tokens(b.key, b.shrinkage, b.selection, b.use_cnt,
                                b.life_cnt, b.size, key, shrinkage, selection)
             b.value = _append_values(b.value, b.size, vals)
             b.size += hw
 
-        if self.use_long_term:
-            for bid in list(self.buckets.keys()):
-                b = self.buckets[bid]
-                if b.size >= self.max_work_tokens:
-                    lt = self.long_buckets.get(bid)
-                    if lt is not None and lt.size >= (
-                            self.cfg.max_long_term_elements -
-                            self.cfg.num_prototypes):
-                        self._evict_obsolete(
-                            bid, self.cfg.max_long_term_elements -
-                            self.cfg.num_prototypes)
-                    self._compress(bid)
+        self.maybe_consolidate()
+
+    def maybe_consolidate(self) -> None:
+        """Evict obsolete long-term tokens and consolidate any saturated
+        working bucket. reference:memory_manager.py:207-218."""
+        if not self.use_long_term:
+            return
+        for bid in list(self.buckets.keys()):
+            b = self.buckets[bid]
+            if b.size >= self.max_work_tokens:
+                lt = self.long_buckets.get(bid)
+                if lt is not None and lt.size >= (
+                        self.cfg.max_long_term_elements -
+                        self.cfg.num_prototypes):
+                    self._evict_obsolete(
+                        bid, self.cfg.max_long_term_elements -
+                        self.cfg.num_prototypes)
+                self._compress(bid)
 
     def _compress(self, bid: int) -> None:
         """Consolidate the middle of the working timeline into prototypes and
@@ -335,7 +355,7 @@ class MemoryEngine:
         cand = slice(start, end)
         proto_key, proto_shr, proto_value = _consolidate_prototypes(
             b.key[cand], b.shrinkage[cand], b.selection[cand],
-            b.value[:, cand], usage[cand], self.cfg.num_prototypes)
+            b.value[cand], usage[cand], self.cfg.num_prototypes)
 
         # sieve: keep [0:start] + [end:size]
         keep_tail = b.size - end
@@ -352,7 +372,7 @@ class MemoryEngine:
         b.key = sieve(b.key, 0)
         b.shrinkage = sieve(b.shrinkage, 0)
         b.selection = sieve(b.selection, 0)
-        b.value = sieve(b.value, 1)
+        b.value = sieve(b.value, 0)
         b.use_cnt = sieve(b.use_cnt, 0)
         b.life_cnt = sieve(b.life_cnt, 0)
         b.size = new_size
@@ -390,7 +410,7 @@ class MemoryEngine:
         idx = jnp.asarray(order, jnp.int32)
         lt.key = lt.key[idx]
         lt.shrinkage = lt.shrinkage[idx]
-        lt.value = lt.value[:, idx]
+        lt.value = lt.value[idx]
         if lt.use_cnt is not None:
             lt.use_cnt = lt.use_cnt[idx]
             lt.life_cnt = lt.life_cnt[idx]

@@ -77,7 +77,14 @@ def topk_softmax(sim: jnp.ndarray,
         sim = jnp.where(valid[None, :], sim, -jnp.inf)
     q, n = sim.shape
     values, indices = jax.lax.top_k(sim, top_k)  # [Q, K]
-    x_exp = jnp.exp(values)  # sim <= 0 so exp <= 1; exp(-inf) == 0
+    # The reference exponentiates without max subtraction (sim <= 0 so exp
+    # never overflows, reference:memory_utils.py:59-60) — but it can
+    # UNDERFLOW to an all-zero row (sim < -88 for every candidate), giving
+    # 0/0 = NaN. Shifting by the row max is mathematically identical
+    # (softmax shift invariance) and removes that failure mode.
+    row_max = values[..., :1]
+    row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
+    x_exp = jnp.exp(values - row_max)  # exp(-inf - c) == 0
     x_exp = x_exp / jnp.sum(x_exp, axis=-1, keepdims=True)
     affinity = jnp.zeros((q, n), dtype=x_exp.dtype)
     affinity = affinity.at[jnp.arange(q)[:, None], indices].add(x_exp)
