@@ -48,30 +48,26 @@ def main():
     mask0[300:440, 500:800] = 2
     mask0[60:160, 600:840] = 3
 
-    chunk = 10  # frames per launch (lax.scan inside one compiled program)
-
     t_start = time.perf_counter()
     prob = core.step(frames[0], mask0, objects=[1, 2, 3])
-    i = 1
-    while i < warmup:
-        probs = core.step_chunk([frames[(i + j) % len(frames)]
-                                 for j in range(chunk)])
-        i += chunk
+    for i in range(1, warmup):
+        prob = core.step(frames[i % len(frames)])
     # honest sync: a host readback forces the whole dependency chain (under
     # the axon relay, block_until_ready alone returns early)
-    _ = float(probs[-1][0, 0, 0])
-    print(f"warmup {i} frames in {time.perf_counter() - t_start:.1f}s",
+    _ = float(prob[0, 0, 0])
+    print(f"warmup {warmup} frames in {time.perf_counter() - t_start:.1f}s",
           file=sys.stderr)
 
-    t0 = time.perf_counter()
-    done = 0
-    while done < measure:
-        probs = core.step_chunk([frames[(done + j) % len(frames)]
-                                 for j in range(chunk)])
-        done += chunk
-    _ = float(probs[-1][0, 0, 0])
-    measure = done
-    dt = time.perf_counter() - t0
+    # the tunneled chip is time-shared; take the median of three measurement
+    # windows to reduce contention noise
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(measure):
+            prob = core.step(frames[i % len(frames)])
+        _ = float(prob[0, 0, 0])
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[1]
 
     fps = measure / dt
     print(f"steady state: {fps:.2f} fps ({dt / measure * 1e3:.2f} ms/frame), "

@@ -329,6 +329,10 @@ class InferenceCore:
         eligible (multi-bucket, pending consolidation mid-chunk, end-of-video
         sensory freeze on the last frame).
 
+        Note: on remote-dispatch setups XLA copies the large ring carries
+        every scan iteration, which can outweigh the saved launches; prefer
+        per-frame step() unless launch overhead measurably dominates.
+
         images: list/array of [H, W, 3] frames.
         Returns a list of per-frame probabilities [1 + num_obj, H, W].
         """
