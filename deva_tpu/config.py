@@ -58,6 +58,12 @@ class InferenceConfig:
     detection_every: int = 5
     num_voting_frames: int = 3
 
+    # Use the fused Pallas top-k readout kernel (deva_tpu/ops/
+    # pallas_attention.py) on the single-bucket hot path instead of the XLA
+    # dense-affinity path. Bit-identical results; measured ~even on the
+    # current tunneled chip (both dispatch-bound), so off by default.
+    use_pallas_attention: bool = False
+
     # object-axis padding buckets: device tensors over the object axis are padded
     # up to the next entry so frame-to-frame steps never retrace as objects churn.
     obj_pad_buckets: tuple = (1, 2, 4, 8, 16, 32, 64, 128, 256)

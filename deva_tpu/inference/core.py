@@ -113,7 +113,8 @@ class InferenceCore:
         self.next_voting_frame = config.num_voting_frames - 1
 
         from deva_tpu.inference.fused_step import FusedStepper
-        self._fused = FusedStepper(model, config.top_k)
+        self._fused = FusedStepper(model, config.top_k,
+                                   use_pallas=config.use_pallas_attention)
 
     # -- object-slot management -------------------------------------------
 

@@ -30,10 +30,27 @@ from deva_tpu.inference.memory import _readout_token_major
 
 
 class FusedStepper:
-    def __init__(self, model: DEVANetwork, top_k: int):
+    def __init__(self, model: DEVANetwork, top_k: int,
+                 use_pallas: bool = False):
         self.model = model
         self.top_k = top_k
+        self.use_pallas = use_pallas
         self._cache: Dict = {}
+
+    def _attend(self, key_ring, shr_ring, value_ring, valid, qk, qe,
+                want_usage: bool):
+        """Masked top-k attention over one ring; Pallas or XLA readout."""
+        if self.use_pallas:
+            from deva_tpu.ops.pallas_attention import attend_pallas
+            return attend_pallas(key_ring, shr_ring, value_ring, qk, qe,
+                                 self.top_k, valid, return_usage=want_usage)
+        sim = ma.get_similarity(key_ring, shr_ring, qk, qe)
+        if want_usage:
+            aff, usage = ma.topk_softmax(sim, self.top_k, valid,
+                                         return_usage=True)
+            return _readout_token_major(aff, value_ring), usage
+        aff = ma.topk_softmax(sim, self.top_k, valid)
+        return _readout_token_major(aff, value_ring)
 
     def _build(self, mem_write: bool, update_sensory: bool, use_lt: bool,
                work_usage: bool, count_lt_usage: bool):
@@ -60,23 +77,21 @@ class FusedStepper:
                 lcap = lt_key.shape[0]
                 valid = jnp.concatenate([jnp.arange(lcap) < lt_size,
                                          jnp.arange(cap) < size])
-                sim = ma.get_similarity(
+                rd, usage = self._attend(
                     jnp.concatenate([lt_key, key_ring], 0),
-                    jnp.concatenate([lt_shr, shr_ring], 0), qk, qe)
-                aff, usage = ma.topk_softmax(sim, top_k, valid,
-                                             return_usage=True)
-                rd = _readout_token_major(
-                    aff, jnp.concatenate([lt_value, value_ring], 0))
+                    jnp.concatenate([lt_shr, shr_ring], 0),
+                    jnp.concatenate([lt_value, value_ring], 0),
+                    valid, qk, qe, want_usage=True)
                 lt_usage, work_usage_arr = usage[:lcap], usage[lcap:]
             else:
                 valid = jnp.arange(cap) < size
-                sim = ma.get_similarity(key_ring, shr_ring, qk, qe)
                 if work_usage:
-                    aff, work_usage_arr = ma.topk_softmax(
-                        sim, top_k, valid, return_usage=True)
+                    rd, work_usage_arr = self._attend(
+                        key_ring, shr_ring, value_ring, valid, qk, qe,
+                        want_usage=True)
                 else:
-                    aff = ma.topk_softmax(sim, top_k, valid)
-                rd = _readout_token_major(aff, value_ring)
+                    rd = self._attend(key_ring, shr_ring, value_ring, valid,
+                                      qk, qe, want_usage=False)
 
             if work_usage:
                 valid_w = jnp.arange(cap) < size
