@@ -91,6 +91,14 @@ def solve_consensus_ilp(pairwise_iou: np.ndarray,
     if n == 0:
         return []
     w = 2.0 * pairwise_iou.sum(axis=0) - 1.0
+
+    from deva_tpu.utils import native
+    conflict_clean = np.asarray(conflict, bool).copy()
+    np.fill_diagonal(conflict_clean, False)
+    sel = native.mwis_solve(w, conflict_clean)
+    if sel is not None:
+        return sel.tolist()
+
     adj: List[Set[int]] = [set(np.nonzero(conflict[i])[0].tolist()) - {i}
                            for i in range(n)]
     selected = np.zeros(n, dtype=bool)

@@ -64,8 +64,13 @@ def _leb_decode(s: str) -> np.ndarray:
 
 
 def encode(mask: np.ndarray) -> Dict:
-    """binary mask [H, W] -> {'size': [H, W], 'counts': str} (COCO RLE)."""
+    """binary mask [H, W] -> {'size': [H, W], 'counts': str} (COCO RLE).
+    Uses the native codec (native/devac.cpp) when built."""
     h, w = mask.shape
+    from deva_tpu.utils import native
+    s = native.rle_encode(mask)
+    if s is not None:
+        return {"size": [int(h), int(w)], "counts": s}
     return {"size": [int(h), int(w)],
             "counts": _leb_encode(_runs_from_mask(mask))}
 
@@ -75,6 +80,10 @@ def decode(rle: Dict) -> np.ndarray:
     h, w = rle["size"]
     counts = rle["counts"]
     if isinstance(counts, str):
+        from deva_tpu.utils import native
+        out = native.rle_decode(counts, h, w)
+        if out is not None:
+            return out
         counts = _leb_decode(counts)
     else:
         counts = np.asarray(counts, dtype=np.int64)
