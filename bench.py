@@ -35,7 +35,8 @@ def main():
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
         jnp.zeros((1, 1, 32, 32)), jnp.zeros((1, 1, 2, 2, 512)))
-    cfg = InferenceConfig()
+    cfg = InferenceConfig(ring_dtype=dtype,
+                          use_pallas_attention="--pallas" in sys.argv)
     core = InferenceCore(model, variables, cfg)
 
     rng = np.random.default_rng(0)

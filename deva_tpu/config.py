@@ -64,6 +64,10 @@ class InferenceConfig:
     # current tunneled chip (both dispatch-bound), so off by default.
     use_pallas_attention: bool = False
 
+    # dtype of the memory rings (keys/values). bfloat16 halves ring HBM and
+    # feeds the MXU natively; similarity still accumulates in f32.
+    ring_dtype: str = "float32"
+
     # object-axis padding buckets: device tensors over the object axis are padded
     # up to the next entry so frame-to-frame steps never retrace as objects churn.
     obj_pad_buckets: tuple = (1, 2, 4, 8, 16, 32, 64, 128, 256)

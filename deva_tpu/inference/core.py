@@ -320,8 +320,7 @@ class InferenceCore:
         if is_mem_frame:
             self.last_mem_ti = self.curr_ti
             self.memory.maybe_consolidate()
-        n = self.object_manager.num_obj
-        return prob[:n + 1]
+        return prob  # already [1 + num_obj, H, W] (sliced in the launch)
 
     def step_chunk(self, images, *, end: bool = False):
         """Propagate several maskless frames in ONE compiled launch

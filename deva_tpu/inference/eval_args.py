@@ -48,9 +48,15 @@ def add_common_eval_args(parser: ArgumentParser) -> None:
                         "TPU build batches all objects (no chunking needed)")
     parser.add_argument("--size", type=int, default=480,
                         help="Resize shorter side to this; -1 keeps original")
+    parser.add_argument("--use_pallas_attention", action="store_true",
+                        help="fused Pallas top-k readout on the hot path")
+    parser.add_argument("--ring_dtype", default=None,
+                        help="memory ring dtype (float32/bfloat16; defaults "
+                        "to bfloat16 with --amp)")
 
 
 def make_inference_config(args, **overrides) -> InferenceConfig:
+    ring_dtype = args.ring_dtype or ("bfloat16" if args.amp else "float32")
     kw = dict(
         mem_every=args.mem_every,
         top_k=args.top_k,
@@ -60,6 +66,8 @@ def make_inference_config(args, **overrides) -> InferenceConfig:
         num_prototypes=args.num_prototypes,
         max_long_term_elements=args.max_long_term_elements,
         size=args.size,
+        use_pallas_attention=args.use_pallas_attention,
+        ring_dtype=ring_dtype,
     )
     kw.update(overrides)
     return InferenceConfig(**kw)

@@ -138,16 +138,18 @@ class FusedStepper:
                     life_cnt = jax.lax.dynamic_update_slice(
                         life_cnt, zeros + 1e-7, (size,))
 
-            # unpad the probabilities (static slice)
+            # unpad + slice to the live channels (all static -> the caller
+            # gets exactly [1 + num_obj, H, W] in the same single launch)
             h, w = image.shape[:2]
-            prob_out = prob[0, :, lh:lh + h, lw:lw + w]
+            prob_out = prob[0, :num_obj + 1, lh:lh + h, lw:lw + w]
             return (prob_out, new_sensory, new_last_mask, key_ring, shr_ring,
                     sel_ring, value_ring, use_cnt, life_cnt, lt_use, lt_life)
 
         # pads/static config via static_argnums; donate the rings that are
         # rewritten so mem-write frames update in place
         donate = (4, 5, 6, 7, 8, 9) if mem_write else ()
-        return jax.jit(fn, static_argnums=(2,), donate_argnums=donate)
+        return jax.jit(fn, static_argnums=(2, 3),
+                       donate_argnums=donate)
 
     # -- multi-frame chunks ---------------------------------------------------
 
@@ -348,7 +350,7 @@ class FusedStepper:
 
         (prob, new_sensory, new_last_mask, key_ring, shr_ring, sel_ring,
          value_ring, use_cnt, life_cnt, lt_use, lt_life) = fn(
-            variables, image, pads, num_obj,
+            variables, image, pads, int(num_obj),
             bucket.key, bucket.shrinkage, bucket.selection, bucket.value,
             bucket.use_cnt, bucket.life_cnt, bucket.size, *lt_args,
             sensory, last_mask)

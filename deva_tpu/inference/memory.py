@@ -243,6 +243,8 @@ class MemoryEngine:
         self.top_k = config.top_k
         self.use_long_term = config.enable_long_term
         self.count_long_term_usage = config.enable_long_term_count_usage
+        self.ring_dtype = jnp.bfloat16 if config.ring_dtype == "bfloat16" \
+            else jnp.float32
 
         self.hw: Optional[int] = None  # tokens per frame (set on first add)
         self.h = self.w = None
@@ -306,7 +308,7 @@ class MemoryEngine:
             self.buckets[bid] = Bucket(
                 new_obj_ids, o_cap_b, cap0, self.ck, self.cv,
                 save_selection=self.use_long_term,
-                save_usage=self.use_long_term)
+                save_usage=self.use_long_term, dtype=self.ring_dtype)
 
         row_of = {o: i for i, o in enumerate(obj_ids)}
         limit = self.max_work_tokens if self.use_long_term else None
@@ -382,7 +384,8 @@ class MemoryEngine:
             cap = _round_up(self.cfg.max_long_term_elements,
                             self.cfg.num_prototypes)
             lt = LongTermBucket(b.obj_ids, b.o_cap, cap, self.ck, self.cv,
-                                save_usage=self.count_long_term_usage)
+                                save_usage=self.count_long_term_usage,
+                                dtype=self.ring_dtype)
             self.long_buckets[bid] = lt
         lt.obj_ids = list(b.obj_ids)
         p = self.cfg.num_prototypes
