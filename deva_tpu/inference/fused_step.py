@@ -52,8 +52,10 @@ class FusedStepper:
         aff = ma.topk_softmax(sim, self.top_k, valid)
         return _readout_token_major(aff, value_ring)
 
-    def _build(self, mem_write: bool, update_sensory: bool, use_lt: bool,
-               work_usage: bool, count_lt_usage: bool):
+    def _raw_step(self, mem_write: bool, update_sensory: bool, use_lt: bool,
+                  work_usage: bool, count_lt_usage: bool):
+        """The traceable single-frame body (jitted directly by _build;
+        composed K times by _build_unrolled)."""
         model = self.model
         top_k = self.top_k
 
@@ -145,11 +147,51 @@ class FusedStepper:
             return (prob_out, new_sensory, new_last_mask, key_ring, shr_ring,
                     sel_ring, value_ring, use_cnt, life_cnt, lt_use, lt_life)
 
-        # pads/static config via static_argnums; donate the rings that are
-        # rewritten so mem-write frames update in place
-        donate = (4, 5, 6, 7, 8, 9) if mem_write else ()
+        return fn
+
+    def _build(self, mem_write: bool, update_sensory: bool, use_lt: bool,
+               work_usage: bool, count_lt_usage: bool):
+        fn = self._raw_step(mem_write, update_sensory, use_lt, work_usage,
+                            count_lt_usage)
+        # donate the rewritten rings on write frames plus the per-frame
+        # sensory/last_mask state (args 17, 18) so updates happen in place
+        donate = (4, 5, 6, 7, 8, 9, 17, 18) if mem_write else (17, 18)
         return jax.jit(fn, static_argnums=(2, 3),
                        donate_argnums=donate)
+
+    def _build_unrolled(self, writes: tuple, use_lt: bool, work_usage: bool,
+                        count_lt_usage: bool):
+        """K frames composed into one XLA program by python-unrolling the raw
+        step body (no scan carry copies, no cond: the write schedule is
+        static). All frames update sensory (end frames are excluded by the
+        caller)."""
+        bodies = [self._raw_step(bool(w), True, use_lt, work_usage,
+                                 count_lt_usage) for w in writes]
+
+        def fn(variables, frames, pads, num_obj,
+               key_ring, shr_ring, sel_ring, value_ring, use_cnt, life_cnt,
+               size, lt_key, lt_shr, lt_value, lt_use, lt_life, lt_size,
+               sensory, last_mask):
+            lw, uw, lh, uh = pads
+            h, w = frames.shape[1:3]
+            hw = ((h + lh + uh) // 16) * ((w + lw + uw) // 16)
+            probs = []
+            offset = 0
+            for i, body in enumerate(bodies):
+                (prob, sensory, last_mask, key_ring, shr_ring, sel_ring,
+                 value_ring, use_cnt, life_cnt, lt_use, lt_life) = body(
+                    variables, frames[i], pads, num_obj,
+                    key_ring, shr_ring, sel_ring, value_ring, use_cnt,
+                    life_cnt, size + offset, lt_key, lt_shr, lt_value,
+                    lt_use, lt_life, lt_size, sensory, last_mask)
+                if writes[i]:
+                    offset += hw
+                probs.append(prob)
+            return (jnp.stack(probs), sensory, last_mask, key_ring, shr_ring,
+                    sel_ring, value_ring, use_cnt, life_cnt, lt_use, lt_life)
+
+        donate = (4, 5, 6, 7, 8, 9, 17, 18) if any(writes) else (17, 18)
+        return jax.jit(fn, static_argnums=(2, 3), donate_argnums=donate)
 
     # -- multi-frame chunks ---------------------------------------------------
 
@@ -289,9 +331,24 @@ class FusedStepper:
         """frames: [K, H, W, 3] device array; writes: [K] bool. Updates
         bucket/lt in place, returns (probs [K, 1+O_cap, H, W], sensory,
         last_mask)."""
+        import numpy as _np
         use_lt = lt is not None and lt.size > 0
         h, w = frames.shape[1:3]
         pads = pad_amounts(h, w, 16)
+        writes_tuple = tuple(bool(x) for x in _np.asarray(writes))
+        if len(writes_tuple) <= 10:
+            # python-unrolled composition: no scan carry copies, static
+            # write schedule; one compile per distinct (K, pattern)
+            cache_key = ("unroll", writes_tuple, use_lt, work_usage,
+                         count_lt_usage and use_lt)
+            if cache_key not in self._cache:
+                self._cache[cache_key] = self._build_unrolled(
+                    writes_tuple, use_lt, work_usage,
+                    count_lt_usage and use_lt)
+            return self._run_unrolled(self._cache[cache_key], variables,
+                                      frames, writes_tuple, pads, num_obj,
+                                      bucket, lt, sensory, last_mask, use_lt,
+                                      work_usage, count_lt_usage)
         cache_key = ("chunk", use_lt, work_usage,
                      count_lt_usage and use_lt)
         if cache_key not in self._cache:
@@ -320,6 +377,35 @@ class FusedStepper:
         hw_tokens = ((h + pads[2] + pads[3]) // 16) * \
             ((w + pads[0] + pads[1]) // 16)
         bucket.size += n_writes * hw_tokens
+        if use_lt and count_lt_usage:
+            lt.use_cnt, lt.life_cnt = lt_use, lt_life
+        return probs, new_sensory, new_last_mask
+
+    def _run_unrolled(self, fn, variables, frames, writes_tuple, pads,
+                      num_obj, bucket, lt, sensory, last_mask, use_lt,
+                      work_usage, count_lt_usage):
+        if use_lt:
+            lt_args = (lt.key, lt.shrinkage, lt.value, lt.use_cnt,
+                       lt.life_cnt, lt.size)
+        else:
+            lt_args = (jnp.zeros((0, bucket.key.shape[1])), jnp.zeros((0,)),
+                       jnp.zeros((0, *bucket.value.shape[1:])), None, None, 0)
+        (probs, new_sensory, new_last_mask, key_ring, shr_ring, sel_ring,
+         value_ring, use_cnt, life_cnt, lt_use, lt_life) = fn(
+            variables, frames, pads, int(num_obj),
+            bucket.key, bucket.shrinkage, bucket.selection, bucket.value,
+            bucket.use_cnt, bucket.life_cnt, bucket.size, *lt_args,
+            sensory, last_mask)
+        n_writes = sum(writes_tuple)
+        if n_writes:
+            bucket.key, bucket.shrinkage = key_ring, shr_ring
+            bucket.selection, bucket.value = sel_ring, value_ring
+            lw, uw, lh, uh = pads
+            h, w = frames.shape[1:3]
+            hw = ((h + lh + uh) // 16) * ((w + lw + uw) // 16)
+            bucket.size += n_writes * hw
+        if work_usage:
+            bucket.use_cnt, bucket.life_cnt = use_cnt, life_cnt
         if use_lt and count_lt_usage:
             lt.use_cnt, lt.life_cnt = lt_use, lt_life
         return probs, new_sensory, new_last_mask

@@ -28,7 +28,8 @@ from deva_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from deva_tpu.training import checkpoint as ckpt
 from deva_tpu.training.configuration import Configuration
 from deva_tpu.training.data import StaticTransformDataset, VOSDataset
-from deva_tpu.training.trainer import (init_train_state, make_optimizer,
+from deva_tpu.training.trainer import (init_train_state,
+                                       make_eval_outputs, make_optimizer,
                                        make_train_step)
 from deva_tpu.utils.load_subset import load_sub_davis, load_sub_yv
 from deva_tpu.utils.logger import Integrator, TensorboardLogger
@@ -134,6 +135,7 @@ def main(argv=None):
             raw_config["load_checkpoint"] = None
         state = replicate(mesh, state)
         train_step = make_train_step(model, tx, cfg, mesh=mesh)
+        eval_outputs = make_eval_outputs(model, cfg)
 
         # datasets (reference:deva/train.py:166-194)
         max_skip_values = [10, 15, 5, 5]
@@ -219,6 +221,14 @@ def main(argv=None):
                     if total_iter % raw_config["log_text_interval"] == 0:
                         integrator.finalize("train", total_iter)
                         integrator.reset_except_hooks()
+                    if logger.writer is not None and total_iter % \
+                            raw_config["log_image_interval"] == 0:
+                        from deva_tpu.utils.image_saver import pool_pairs
+                        outs = eval_outputs(state, sharded, sub)
+                        logger.log_image(
+                            "train/pairs",
+                            pool_pairs(batch, jax.device_get(outs)),
+                            total_iter)
                     if save_path and \
                             total_iter % save_network_interval == 0:
                         ckpt.save_network(state, save_path, total_iter)

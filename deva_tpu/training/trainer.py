@@ -174,6 +174,18 @@ def make_train_step(model: DEVANetwork, tx: optax.GradientTransformation,
     )
 
 
+def make_eval_outputs(model: DEVANetwork, cfg: TrainConfig):
+    """Forward-only jitted pass returning the per-step masks, for training
+    visualization grids (reference:deva/model/trainer.py:161-167)."""
+
+    def eval_outputs(state: TrainState, batch: Dict, rng: jax.Array):
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        return forward_sequence(model, variables, batch, rng, cfg)
+
+    return jax.jit(eval_outputs)
+
+
 def init_train_state(model: DEVANetwork, variables: Dict,
                      tx: optax.GradientTransformation) -> TrainState:
     return TrainState(params=variables["params"],
