@@ -34,7 +34,8 @@ from deva_tpu.inference.result_saver import ResultSaver
 
 
 def track_video(model, variables, cfg, ext_cfg, detector, video_path: str,
-                out_dir: str, max_frames: int = -1) -> str:
+                out_dir: str, max_frames: int = -1,
+                process_fn=None) -> str:
     """Decode -> track -> encode. Returns the output video path."""
     cap = cv2.VideoCapture(video_path)
     fps = cap.get(cv2.CAP_PROP_FPS) or 24
@@ -66,13 +67,14 @@ def track_video(model, variables, cfg, ext_cfg, detector, video_path: str,
                                      cv2.VideoWriter_fourcc(*"mp4v"), fps,
                                      (w, h))
             result_saver.writer = writer
-        process_frame_with_text(deva, detector, ext_cfg,
-                                f"{ti:07d}.jpg", result_saver, ti,
-                                image_np=frame)
+        fn = process_fn or process_frame_with_text
+        fn(deva, detector, ext_cfg, f"{ti:07d}.jpg", result_saver, ti,
+           image_np=frame)
         ti += 1
+    prompt = ext_cfg.get("prompt")
     flush_buffer(deva, result_saver,
-                 prompts=[p for p in ext_cfg["prompt"].split(".")
-                          if p.strip()])
+                 prompts=[p for p in prompt.split(".") if p.strip()]
+                 if prompt else None)
     result_saver.end()
     cap.release()
     if writer is not None:
@@ -106,16 +108,35 @@ def main():
             raise SystemExit("gradio is not installed; run in CLI mode with "
                              "--video instead")
 
-        def run(video, prompt, max_frames):
+        def run_text(video, prompt, max_frames):
             ext = dict(ext_cfg, prompt=prompt)
             with tempfile.TemporaryDirectory() as d:
                 return track_video(model, variables, cfg, ext, detector,
                                    video, d, int(max_frames))
 
-        gr.Interface(fn=run,
-                     inputs=[gr.Video(), gr.Text(), gr.Number(value=-1)],
-                     outputs=gr.Video(),
-                     title="deva_tpu: text-prompted tracking").launch()
+        def run_auto(video, max_frames):
+            from deva_tpu.ext.detectors import HFAutomaticSAM
+            from deva_tpu.ext.automatic_processor import \
+                process_frame_automatic
+            generator = HFAutomaticSAM(args.SAM_HF_PATH)
+            ext = dict(ext_cfg, suppress_small_objects=False)
+            with tempfile.TemporaryDirectory() as d:
+                return track_video(
+                    model, variables, cfg, ext, generator, video, d,
+                    int(max_frames),
+                    process_fn=process_frame_automatic)
+
+        with gr.Blocks(title="deva_tpu") as app:
+            with gr.Tab("Text-prompted"):
+                gr.Interface(fn=run_text,
+                             inputs=[gr.Video(), gr.Text(),
+                                     gr.Number(value=-1)],
+                             outputs=gr.Video())
+            with gr.Tab("Automatic"):
+                gr.Interface(fn=run_auto,
+                             inputs=[gr.Video(), gr.Number(value=-1)],
+                             outputs=gr.Video())
+        app.launch()
     else:
         assert args.video, "--video is required in CLI mode"
         out = track_video(model, variables, cfg, ext_cfg, detector,
