@@ -74,6 +74,8 @@ class Configuration:
         parser.add_argument("--exp_id", default="NULL")
         parser.add_argument("--debug", action="store_true")
 
+        parser.add_argument("--crop_size", type=int, default=384,
+                            help="training crop size")
         # TPU-specific
         parser.add_argument("--n_devices", type=int, default=-1,
                             help="data-parallel devices (-1 = all)")

@@ -149,7 +149,8 @@ def main(argv=None):
                 (path.join(static_root, "ecssd"), 1, 1),
                 (path.join(static_root, "BIG_small"), 1, 5),
                 (path.join(static_root, "HRSOD_small"), 1, 5),
-            ], num_frames=cfg.num_frames, max_num_obj=1)
+            ], num_frames=cfg.num_frames, max_num_obj=1,
+               size=raw_config["crop_size"])
             loader = build_loader(dataset, batch_size,
                                   raw_config["num_workers"], seed=total_iter)
             renew_loader = None
@@ -166,6 +167,7 @@ def main(argv=None):
                                 path.join(yv_root, "Annotations"),
                                 max_skip // 5, subset=load_sub_yv(),
                                 num_frames=cfg.num_frames,
+                                size=raw_config["crop_size"],
                                 data_ratio=raw_config["video_data_ratio"])
                 davis = VOSDataset(path.join(davis_root, "JPEGImages",
                                              "480p"),
@@ -173,11 +175,13 @@ def main(argv=None):
                                              "480p"),
                                    max_skip, subset=load_sub_davis(),
                                    num_frames=cfg.num_frames,
+                                   size=raw_config["crop_size"],
                                    data_ratio=raw_config["video_data_ratio"])
                 ovis = VOSDataset(path.join(ovis_root, "JPEGImages"),
                                   path.join(ovis_root, "Annotations"),
                                   max_skip // 5, subset=None,
                                   num_frames=cfg.num_frames,
+                                  size=raw_config["crop_size"],
                                   data_ratio=raw_config["video_data_ratio"])
                 mixed = ConcatDataset([davis] * 5 + [yv] + [ovis] * 3)
                 print(f"Renewed loaders with max_skip={max_skip}; "
