@@ -7,7 +7,6 @@ frozen dataclasses so configs are hashable (usable as static jit args) and typed
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax.numpy as jnp
 

@@ -14,9 +14,8 @@ Key differences from the reference (all semantics-preserving):
 """
 from __future__ import annotations
 
-import functools
 import warnings
-from typing import Iterable, List, Literal, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

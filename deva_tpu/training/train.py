@@ -15,7 +15,6 @@ Run: python -m deva_tpu.training.train --stages 03 --exp_id my_run ...
 from __future__ import annotations
 
 import datetime
-import math
 import random
 from os import path
 

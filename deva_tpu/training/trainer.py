@@ -15,7 +15,6 @@ reference:deva/train.py. Differences that are TPU-native by design:
 """
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Dict, Optional, Tuple
 
