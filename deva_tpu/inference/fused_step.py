@@ -53,9 +53,12 @@ class FusedStepper:
         return _readout_token_major(aff, value_ring)
 
     def _raw_step(self, mem_write: bool, update_sensory: bool, use_lt: bool,
-                  work_usage: bool, count_lt_usage: bool):
+                  work_usage: bool, count_lt_usage: bool,
+                  slice_channels: bool = True):
         """The traceable single-frame body (jitted directly by _build;
-        composed K times by _build_unrolled)."""
+        composed K times by _build_unrolled; vmapped over videos by the
+        batched propagator with slice_channels=False so num_obj can be a
+        per-video traced scalar)."""
         model = self.model
         top_k = self.top_k
 
@@ -143,7 +146,10 @@ class FusedStepper:
             # unpad + slice to the live channels (all static -> the caller
             # gets exactly [1 + num_obj, H, W] in the same single launch)
             h, w = image.shape[:2]
-            prob_out = prob[0, :num_obj + 1, lh:lh + h, lw:lw + w]
+            if slice_channels:
+                prob_out = prob[0, :num_obj + 1, lh:lh + h, lw:lw + w]
+            else:
+                prob_out = prob[0, :, lh:lh + h, lw:lw + w]
             return (prob_out, new_sensory, new_last_mask, key_ring, shr_ring,
                     sel_ring, value_ring, use_cnt, life_cnt, lt_use, lt_life)
 

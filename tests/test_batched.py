@@ -1,0 +1,69 @@
+"""Batched multi-video propagation == sequential single-video propagation."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deva_tpu.config import InferenceConfig, ModelConfig
+from deva_tpu.inference.batched import BatchedPropagator
+from deva_tpu.inference.core import InferenceCore
+from deva_tpu.models.network import DEVANetwork
+
+H, W = 64, 96
+
+
+def _video(rng, t, n_obj):
+    base = rng.standard_normal((H // 8, W // 8, 3)).astype(np.float32)
+    frames = [np.kron(base + 0.1 * rng.standard_normal((H // 8, W // 8, 3)),
+                      np.ones((8, 8, 1))).astype(np.float32)
+              for _ in range(t)]
+    mask0 = np.zeros((H, W), np.int64)
+    mask0[8:28, 10:40] = 1
+    if n_obj > 1:
+        mask0[36:60, 50:90] = 2
+    return frames, mask0
+
+
+def test_batched_equals_sequential():
+    model = DEVANetwork(ModelConfig())
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)),
+                           jnp.zeros((1, 1, 32, 32)),
+                           jnp.zeros((1, 1, 2, 2, 512)))
+    cfg = InferenceConfig(mem_every=2, top_k=8, enable_long_term=False)
+
+    rng = np.random.default_rng(6)
+    vids = [_video(rng, 5, 1), _video(rng, 5, 2)]
+    objects = [[1], [1, 2]]
+
+    # sequential single-video reference
+    seq_probs = []
+    for (frames, mask0), objs in zip(vids, objects):
+        core = InferenceCore(model, variables, cfg)
+        core.step(frames[0], mask0, objects=objs)
+        seq_probs.append([np.asarray(core.step(f)) for f in frames[1:]])
+
+    # batched lockstep
+    bp = BatchedPropagator(model, variables, cfg)
+    bp.initialize([v[0][0] for v in vids], [v[1] for v in vids], objects)
+    # The vmapped body compiles to a different op schedule than the
+    # single-video step; after a memory write the random-init recurrence
+    # amplifies that float noise at boundary pixels (same effect as in
+    # test_step_chunk), so frames after the first in-batch write get a
+    # small pixel budget.
+    for ti in range(1, 5):
+        probs = bp.step_all([v[0][ti] for v in vids])
+        for vi, objs in enumerate(objects):
+            got = np.asarray(probs[vi][:len(objs) + 1])
+            want = seq_probs[vi][ti - 1]
+            if ti <= 2:
+                np.testing.assert_allclose(got, want, atol=1e-3,
+                                           err_msg=f"v{vi} f{ti}")
+            else:
+                bad = (np.abs(got - want) > 5e-3).any(axis=0)
+                assert bad.mean() <= 0.02, \
+                    f"video {vi} frame {ti}: {bad.mean():.2%} pixels differ"
+                diff = got.argmax(0) != want.argmax(0)
+                assert diff.mean() <= 0.02, \
+                    f"video {vi} frame {ti}: argmax {diff.mean():.2%}"
