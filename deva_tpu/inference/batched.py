@@ -54,11 +54,7 @@ class BatchedPropagator:
             (_, bucket), = core.memory.buckets.items()
             o_cap = max(o_cap, bucket.o_cap)
             self.cores.append(core)
-        # homogenize object capacity across videos
-        for core in self.cores:
-            while core.o_cap < o_cap:
-                core.object_manager  # no-op; grow via pad below
-                break
+        # _stack pads every video's rings/slots to the shared o_cap/cap
         self._stack(o_cap)
         self.frame_idx = 0  # frames consumed after the first
 

@@ -32,19 +32,25 @@ def bootstrapped_ce(logits: jnp.ndarray, cls_gt: jnp.ndarray,
                     selector: jnp.ndarray, it: jnp.ndarray,
                     start_warm: int, end_warm: int,
                     top_p: float = 0.3):
-    """reference:deva/model/losses.py:24-45. Returns (loss, this_p)."""
-    raw = _masked_ce(logits, cls_gt, selector).reshape(-1)
-    n = raw.shape[0]
+    """reference:deva/model/losses.py:24-45. Returns (loss, this_p).
+
+    Top-p selection is PER SAMPLE (the reference loops over the batch and
+    averages per-sample means), so hard pixels in one clip cannot crowd out
+    another clip's gradient.
+    """
+    b = logits.shape[0]
+    raw = _masked_ce(logits, cls_gt, selector).reshape(b, -1)
+    n = raw.shape[1]
     this_p = jnp.where(
         it < start_warm, 1.0,
         jnp.where(it > end_warm, top_p,
                   top_p + (1 - top_p) * ((end_warm - it) /
                                          (end_warm - start_warm))))
     k = jnp.floor(n * this_p).astype(jnp.int32)
-    sorted_desc = jnp.sort(raw)[::-1]
-    take = (jnp.arange(n) < k).astype(raw.dtype)
-    loss = (sorted_desc * take).sum() / jnp.maximum(take.sum(), 1.0)
-    return loss, this_p
+    sorted_desc = jnp.sort(raw, axis=1)[:, ::-1]
+    take = (jnp.arange(n)[None, :] < k).astype(raw.dtype)
+    per_sample = (sorted_desc * take).sum(1) / jnp.maximum(take.sum(1), 1.0)
+    return per_sample.mean(), this_p
 
 
 def dice_loss(masks: jnp.ndarray, cls_gt: jnp.ndarray) -> jnp.ndarray:
