@@ -1,21 +1,30 @@
 """Benchmark: steady-state 480p propagation throughput (frames/sec/chip).
 
-Measures the production serving configuration: batched multi-video
-propagation (B=4 videos per compiled launch, SURVEY.md §7 phase 9 —
-"speed-of-light on v5e requires batching across videos"), 2-3 objects per
-video, default memory config at 480x864. Falls back to single-stream
-stepping (the reference's own measurement shape,
-reference:evaluation/eval_vos.py:150-185) if the batched path fails, and
-reports that with `--single`.
+Measures the production serving configuration: batched multi-video block
+propagation — B videos advance K frames per compiled launch (K = mem_every,
+so each launch is one memory period: K-1 read-only frames via lax.scan plus
+one memory-write frame). SURVEY.md §7 phase 9: "speed-of-light on v5e
+requires batching across videos"; on the tunneled chip the per-launch relay
+round-trip (~30 ms floor, seconds under contention) dominates single-frame
+launches, so frames/launch = B*K is the first-order throughput lever.
 
-Honest timing on the tunneled chip: host readbacks force the dependency
-chain (block_until_ready returns early through the relay) and the median of
-three measurement windows reduces time-sharing noise.
+Measurement hygiene on the time-shared relay chip:
+  - host readback (float(...)) as the only honest sync (block_until_ready
+    returns early through the relay);
+  - median of N windows against time-sharing noise;
+  - every launch gets distinct input content (the relay dedups identical
+    calls) — frame blocks are pre-generated ON device (host->device puts
+    run at ~34 MB/s through the tunnel and would swamp the measurement);
+  - ring capacity is pre-reserved for every write in the run, so no
+    mid-run growth recompiles;
+  - persistent compilation cache under .jax_cache.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is fps / 30.0 — 30 fps is the assumed reference A100 480p
-single-stream throughput (the repo publishes no numbers; the driver target
-is >= 3x A100, i.e. vs_baseline >= 3).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+vs_baseline divides aggregate frames/sec/chip by an ASSUMED 30 fps
+single-stream A100 baseline (the reference repo publishes no numbers; the
+driver target is >=3x A100). The assumption is recorded in the JSON as
+baseline_fps_assumed / baseline_note. --single measures the reference's own
+single-stream shape (reference:evaluation/eval_vos.py:150-185) instead.
 """
 import json
 import sys
@@ -24,15 +33,11 @@ import time
 import numpy as np
 
 
-def _median_windows(run_window, n=3):
-    times = []
-    for _ in range(n):
-        times.append(run_window())
-    return sorted(times)[len(times) // 2]
+def _median(xs):
+    return sorted(xs)[len(xs) // 2]
 
 
 def bench_single(model, variables, cfg, frames, mask0, warmup, measure):
-    import jax
     from deva_tpu.inference.core import InferenceCore
     core = InferenceCore(model, variables, cfg)
     prob = core.step(frames[0], mask0, objects=[1, 2, 3])
@@ -48,45 +53,74 @@ def bench_single(model, variables, cfg, frames, mask0, warmup, measure):
         _ = float(p[0, 0, 0])
         return time.perf_counter() - t0
 
-    return measure / _median_windows(window)
+    return measure / _median([window() for _ in range(3)])
 
 
-def bench_batched(model, variables, cfg, frames, mask0, warmup, measure,
-                  batch):
+def bench_blocks(model, variables, cfg, base, mask0, *, batch, k,
+                 warm_launches, launches_per_window, windows):
     import dataclasses
+    import jax
+    import jax.numpy as jnp
     from deva_tpu.inference.batched import BatchedPropagator
-    cfg = dataclasses.replace(cfg, enable_long_term=False)
+
+    cfg = dataclasses.replace(cfg, enable_long_term=False, mem_every=k)
     bp = BatchedPropagator(model, variables, cfg)
-    bp.initialize([frames[0]] * batch, [mask0] * batch,
-                  [[1, 2, 3]] * batch)
-    probs = None
-    for i in range(1, warmup):
-        probs = bp.step_all([frames[(i + j) % len(frames)]
-                             for j in range(batch)])
-    _ = float(probs[0, 0, 0, 0])
+    frame0 = np.asarray(base, np.float32)
+    bp.initialize([frame0] * batch, [mask0] * batch, [[1, 2, 3]] * batch)
+    total_launches = warm_launches + launches_per_window * windows
+    bp.reserve(total_launches + 1)
+
+    # distinct frame blocks generated on device (no tunnel transfers, no
+    # relay dedup); rotate over 8 pre-staged blocks
+    h, w = frame0.shape[:2]
+    base_dev = jnp.asarray(frame0)
+
+    @jax.jit
+    def gen(key):
+        return base_dev[None, None] + 0.05 * jax.random.normal(
+            key, (batch, k, h, w, 3), jnp.float32)
+
+    blocks = [gen(jax.random.PRNGKey(i)) for i in range(8)]
+    _ = float(blocks[-1][0, 0, 0, 0, 0])
+
+    it = 0
+    def launch():
+        nonlocal it
+        p = bp.step_block(blocks[it % len(blocks)])
+        it += 1
+        return p
+
+    p = None
+    for _ in range(warm_launches):
+        p = launch()
+    _ = float(p[0, 0, 0, 0, 0])
 
     def window():
         t0 = time.perf_counter()
         p = None
-        for i in range(measure):
-            p = bp.step_all([frames[(i + j) % len(frames)]
-                             for j in range(batch)])
-        _ = float(p[0, 0, 0, 0])
+        for _ in range(launches_per_window):
+            p = launch()
+        _ = float(p[0, 0, 0, 0, 0])
         return time.perf_counter() - t0
 
-    return measure * batch / _median_windows(window)
+    times = [window() for _ in range(windows)]
+    frames_per_window = launches_per_window * batch * k
+    print(f"window times: {[round(t, 2) for t in times]}s "
+          f"({frames_per_window} frames each)", file=sys.stderr)
+    return frames_per_window / _median(times)
 
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache")
     import jax.numpy as jnp
 
     from deva_tpu.config import InferenceConfig, ModelConfig
     from deva_tpu.models.network import DEVANetwork
 
     h, w = 480, 864
-    batch = 4
-    warmup, measure = 30, 40
+    batch, k = 8, 5
     single = "--single" in sys.argv
 
     dtype = "bfloat16" if "--f32" not in sys.argv else "float32"
@@ -99,9 +133,6 @@ def main():
 
     rng = np.random.default_rng(0)
     base = rng.standard_normal((h, w, 3)).astype(np.float32)
-    frames = [jax.device_put(jnp.asarray(
-        base + 0.05 * rng.standard_normal((h, w, 3)), jnp.float32))
-        for _ in range(8)]
     mask0 = np.zeros((h, w), np.int64)
     mask0[80:240, 100:400] = 1
     mask0[300:440, 500:800] = 2
@@ -110,17 +141,24 @@ def main():
     t0 = time.perf_counter()
     metric = "480p_propagation_fps_per_chip"
     if single:
-        fps = bench_single(model, variables, cfg, frames, mask0, 60, 60)
+        frames = [jax.device_put(jnp.asarray(
+            base + 0.05 * rng.standard_normal((h, w, 3)), jnp.float32))
+            for _ in range(8)]
+        fps = bench_single(model, variables, cfg, frames, mask0, 30, 30)
         metric += "_single_stream"
     else:
         try:
-            fps = bench_batched(model, variables, cfg, frames, mask0,
-                                warmup, measure, batch)
-            metric += f"_batch{batch}"
+            fps = bench_blocks(model, variables, cfg, base, mask0,
+                               batch=batch, k=k, warm_launches=2,
+                               launches_per_window=3, windows=3)
+            metric += f"_batch{batch}x{k}frames"
         except Exception as e:  # never leave the driver without a number
-            print(f"batched bench failed ({e!r}); single-stream fallback",
+            print(f"block bench failed ({e!r}); single-stream fallback",
                   file=sys.stderr)
-            fps = bench_single(model, variables, cfg, frames, mask0, 60, 60)
+            frames = [jax.device_put(jnp.asarray(
+                base + 0.05 * rng.standard_normal((h, w, 3)), jnp.float32))
+                for _ in range(8)]
+            fps = bench_single(model, variables, cfg, frames, mask0, 30, 30)
             metric += "_single_stream"
     print(f"total bench time {time.perf_counter() - t0:.0f}s, "
           f"platform={jax.devices()[0].platform}", file=sys.stderr)
@@ -130,6 +168,10 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 30.0, 3),
+        "baseline_fps_assumed": 30.0,
+        "baseline_note": ("single-stream A100 480p propagation assumed at "
+                          "30 fps (reference publishes no numbers); value "
+                          "is aggregate multi-video throughput per chip"),
     }))
 
 

@@ -63,6 +63,13 @@ class InferenceConfig:
     # current tunneled chip (both dispatch-bound), so off by default.
     use_pallas_attention: bool = False
 
+    # top-k selection for the memory readout: 'exact' (sort-based, bit-parity
+    # with the reference), 'approx' (lax.approx_max_k threshold — the TPU's
+    # native PartialReduce, ~11x faster at serving shapes; the support
+    # provably contains the exact top-k), or 'auto' = approx on TPU, exact
+    # elsewhere. See deva_tpu/ops/memory_attention.py:topk_softmax.
+    topk_method: str = "auto"
+
     # dtype of the memory rings (keys/values). bfloat16 halves ring HBM and
     # feeds the MXU natively; similarity still accumulates in f32.
     ring_dtype: str = "float32"

@@ -56,6 +56,7 @@ class BatchedPropagator:
             self.cores.append(core)
         # _stack pads every video's rings/slots to the shared o_cap/cap
         self._stack(o_cap)
+        self._token_hw = int(self.sizes[0])  # tokens written per frame
         self.frame_idx = 0  # frames consumed after the first
 
     def _stack(self, o_cap: int):
@@ -83,17 +84,18 @@ class BatchedPropagator:
         self.num_obj = jnp.asarray(nobj, jnp.int32)
         self.o_cap = o_cap
 
-    def _fn(self, mem_write: bool, update_sensory: bool, pads):
-        keyk = (mem_write, update_sensory, pads)
-        if keyk in self._fns:
-            return self._fns[keyk]
+    def _stepper(self):
         from deva_tpu.inference.fused_step import FusedStepper
-        stepper = FusedStepper(self.model, self.cfg.top_k,
-                               use_pallas=self.cfg.use_pallas_attention)
-        raw = stepper._raw_step(mem_write, update_sensory, use_lt=False,
-                                work_usage=False, count_lt_usage=False,
-                                slice_channels=False)
+        if not hasattr(self, "_fused"):
+            self._fused = FusedStepper(self.model, self.cfg.top_k,
+                                       use_pallas=self.cfg.use_pallas_attention,
+                                       topk_method=self.cfg.topk_method)
+        return self._fused
 
+    @staticmethod
+    def _wrap_raw(raw, pads):
+        """Adapt a FusedStepper raw body (single-video arg list with unused
+        long-term slots) to the batched per-video signature."""
         z2 = jnp.zeros((0, 1))
         z1 = jnp.zeros((0,))
 
@@ -103,11 +105,83 @@ class BatchedPropagator:
                        value, None, None, size, z2, z1,
                        jnp.zeros((0, *value.shape[1:])), None, None, 0,
                        sensory, last_mask)
+        return body
 
-        fn = jax.jit(jax.vmap(
-            body, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)))
+    def _fn(self, mem_write: bool, update_sensory: bool, pads):
+        keyk = (mem_write, update_sensory, pads)
+        if keyk in self._fns:
+            return self._fns[keyk]
+        raw = self._stepper()._raw_step(
+            mem_write, update_sensory, use_lt=False, work_usage=False,
+            count_lt_usage=False, slice_channels=False)
+        body = self._wrap_raw(raw, pads)
+        # donate the rings and per-frame state so updates happen in place
+        # ([B, cap, O, Cv] ring copies are the dominant HBM traffic otherwise)
+        donate = (2, 3, 4, 6, 7) if mem_write else (6, 7)
+        fn = jax.jit(jax.vmap(body, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)),
+                     donate_argnums=donate)
         self._fns[keyk] = fn
         return fn
+
+    def _block_fn(self, n_read: int, write_last: bool, pads):
+        keyk = ("block", n_read, write_last, pads)
+        if keyk in self._fns:
+            return self._fns[keyk]
+        raw = self._stepper()._raw_block(
+            n_read, write_last, use_lt=False, work_usage=False,
+            count_lt_usage=False, slice_channels=False)
+        body = self._wrap_raw(raw, pads)
+        donate = (2, 3, 4, 6, 7) if write_last else (6, 7)
+        fn = jax.jit(jax.vmap(body, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None)),
+                     donate_argnums=donate)
+        self._fns[keyk] = fn
+        return fn
+
+    def reserve(self, n_writes: int):
+        """Pre-size the rings for `n_writes` further memory writes so no
+        growth (and therefore no recompile) happens mid-run."""
+        hw = self._token_hw
+        need = int(self.sizes.max()) + n_writes * hw
+        if need > self.key.shape[1]:
+            grow = need - self.key.shape[1]
+            self.key = jnp.pad(self.key, ((0, 0), (0, grow), (0, 0)))
+            self.shr = jnp.pad(self.shr, ((0, 0), (0, grow)))
+            self.value = jnp.pad(self.value,
+                                 ((0, 0), (0, grow), (0, 0), (0, 0)))
+
+    def step_block(self, frames, end: bool = False) -> jnp.ndarray:
+        """Advance every video K frames in ONE compiled launch.
+
+        frames: [B, K, H, W, 3] (list of B [K, H, W, 3] accepted). The
+        memory-write schedule must land only on the block's last frame
+        (i.e. K must divide into the mem_every cadence); asserts otherwise.
+        Returns probabilities [B, K, 1 + O_cap, H, W].
+        """
+        frames = jnp.stack([jnp.asarray(f, jnp.float32) for f in frames]) \
+            if isinstance(frames, (list, tuple)) else jnp.asarray(frames)
+        b, k, h, w = frames.shape[:4]
+        last_mem = self._last_mem_ti()
+        for i in range(1, k):
+            assert (self.frame_idx + i) - last_mem < self.cfg.mem_every, \
+                "a mid-block frame would be a memory frame; use a smaller K"
+        write_last = ((self.frame_idx + k) - last_mem
+                      >= self.cfg.mem_every) and not end
+        pads = pad_amounts(h, w, 16)
+        hw = ((h + pads[2] + pads[3]) // 16) * ((w + pads[0] + pads[1]) // 16)
+        if write_last and int(self.sizes.max()) + hw > self.key.shape[1]:
+            self.reserve(4)
+
+        fn = self._block_fn(k - 1 if write_last else k, write_last, pads)
+        (probs, self.sensory, self.last_mask, self.key, self.shr, _,
+         self.value, _, _, _, _) = fn(
+            frames, self.num_obj, self.key, self.shr, self.value,
+            jnp.asarray(self.sizes), self.sensory, self.last_mask,
+            self.variables)
+        self.frame_idx += k
+        if write_last:
+            self.sizes = self.sizes + hw
+            self._mem_ti = self.frame_idx
+        return probs
 
     def step_all(self, frames: Sequence[np.ndarray],
                  end: bool = False) -> jnp.ndarray:

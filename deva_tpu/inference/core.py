@@ -85,7 +85,8 @@ class InferenceCore:
             qk = tar_key[0].reshape(hq * wq, ck)
             qe = tar_sel[0].reshape(hq * wq, ck)
             values = value[0].reshape(o, hq * wq, cv)
-            rd = ma.attend(mk, ms, values, qk, qe, top_k=top_k)
+            rd = ma.attend(mk, ms, values, qk, qe, top_k=top_k,
+                           method=config.topk_method)
             rd = rd.reshape(1, o, hq, wq, cv)
             _, _, prob = model.apply(v, tar_ms, rd, sensory, src_mask,
                                      selector=selector, update_sensory=False,
@@ -113,7 +114,8 @@ class InferenceCore:
 
         from deva_tpu.inference.fused_step import FusedStepper
         self._fused = FusedStepper(model, config.top_k,
-                                   use_pallas=config.use_pallas_attention)
+                                   use_pallas=config.use_pallas_attention,
+                                   topk_method=config.topk_method)
 
     # -- object-slot management -------------------------------------------
 

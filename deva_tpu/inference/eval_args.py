@@ -50,6 +50,11 @@ def add_common_eval_args(parser: ArgumentParser) -> None:
                         help="Resize shorter side to this; -1 keeps original")
     parser.add_argument("--use_pallas_attention", action="store_true",
                         help="fused Pallas top-k readout on the hot path")
+    parser.add_argument("--topk_method", default="auto",
+                        choices=["auto", "exact", "approx"],
+                        help="top-k selection: exact (sort, reference "
+                        "parity) or approx (TPU-native, much faster); "
+                        "auto = approx on TPU")
     parser.add_argument("--ring_dtype", default=None,
                         help="memory ring dtype (float32/bfloat16; defaults "
                         "to bfloat16 with --amp)")
@@ -67,6 +72,7 @@ def make_inference_config(args, **overrides) -> InferenceConfig:
         max_long_term_elements=args.max_long_term_elements,
         size=args.size,
         use_pallas_attention=args.use_pallas_attention,
+        topk_method=args.topk_method,
         ring_dtype=ring_dtype,
     )
     kw.update(overrides)

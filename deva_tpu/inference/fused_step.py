@@ -31,10 +31,11 @@ from deva_tpu.inference.memory import _readout_token_major
 
 class FusedStepper:
     def __init__(self, model: DEVANetwork, top_k: int,
-                 use_pallas: bool = False):
+                 use_pallas: bool = False, topk_method: str = "auto"):
         self.model = model
         self.top_k = top_k
         self.use_pallas = use_pallas
+        self.topk_method = topk_method
         self._cache: Dict = {}
 
     def _attend(self, key_ring, shr_ring, value_ring, valid, qk, qe,
@@ -47,9 +48,11 @@ class FusedStepper:
         sim = ma.get_similarity(key_ring, shr_ring, qk, qe)
         if want_usage:
             aff, usage = ma.topk_softmax(sim, self.top_k, valid,
-                                         return_usage=True)
+                                         return_usage=True,
+                                         method=self.topk_method)
             return _readout_token_major(aff, value_ring), usage
-        aff = ma.topk_softmax(sim, self.top_k, valid)
+        aff = ma.topk_softmax(sim, self.top_k, valid,
+                              method=self.topk_method)
         return _readout_token_major(aff, value_ring)
 
     def _raw_step(self, mem_write: bool, update_sensory: bool, use_lt: bool,
@@ -199,6 +202,118 @@ class FusedStepper:
         donate = (4, 5, 6, 7, 8, 9, 17, 18) if any(writes) else (17, 18)
         return jax.jit(fn, static_argnums=(2, 3), donate_argnums=donate)
 
+    # -- multi-frame blocks ---------------------------------------------------
+
+    def _build_block(self, n_read: int, write_last: bool, use_lt: bool,
+                     work_usage: bool, count_lt_usage: bool,
+                     slice_channels: bool = True):
+        """(n_read + write_last) frames in ONE compiled launch: n_read
+        read-only propagate frames via lax.scan — the rings are
+        loop-invariant, so the carry is only (sensory, last_mask [, usage
+        counters]) — then optionally one memory-write frame. Matches the
+        natural mem_every cadence (a block per memory period); compile cost
+        ~2 single frames regardless of n_read, and the per-launch relay
+        round-trip (~30 ms on the tunneled chip, the dominant cost at batch
+        1x1) is amortized over the whole block."""
+        fn = self._raw_block(n_read, write_last, use_lt, work_usage,
+                             count_lt_usage, slice_channels)
+        donate = (4, 5, 6, 7, 8, 9, 17, 18) if write_last else (17, 18)
+        return jax.jit(fn, static_argnums=(2, 3), donate_argnums=donate)
+
+    def _raw_block(self, n_read: int, write_last: bool, use_lt: bool,
+                   work_usage: bool, count_lt_usage: bool,
+                   slice_channels: bool = True):
+        """Traceable block body (jitted by _build_block; vmapped over videos
+        by the batched propagator with slice_channels=False)."""
+        read = self._raw_step(False, True, use_lt, work_usage,
+                              count_lt_usage, slice_channels=False)
+        write = self._raw_step(True, True, use_lt, work_usage,
+                               count_lt_usage, slice_channels=False)
+
+        def fn(variables, frames, pads, num_obj,
+               key_ring, shr_ring, sel_ring, value_ring, use_cnt, life_cnt,
+               size, lt_key, lt_shr, lt_value, lt_use, lt_life, lt_size,
+               sensory, last_mask):
+            def body(carry, frame):
+                sensory, last_mask, use_cnt, life_cnt, lt_use, lt_life = carry
+                (prob, sensory, last_mask, _k, _s, _sel, _v, use_cnt,
+                 life_cnt, lt_use, lt_life) = read(
+                    variables, frame, pads, num_obj, key_ring, shr_ring,
+                    sel_ring, value_ring, use_cnt, life_cnt, size,
+                    lt_key, lt_shr, lt_value, lt_use, lt_life, lt_size,
+                    sensory, last_mask)
+                carry = (sensory, last_mask, use_cnt, life_cnt, lt_use,
+                         lt_life)
+                return carry, prob
+
+            carry = (sensory, last_mask, use_cnt, life_cnt, lt_use, lt_life)
+            if n_read > 0:
+                carry, probs = jax.lax.scan(body, carry,
+                                            frames[:n_read])
+            else:
+                probs = None
+            (sensory, last_mask, use_cnt, life_cnt, lt_use, lt_life) = carry
+
+            if write_last:
+                (prob_w, sensory, last_mask, key_ring, shr_ring, sel_ring,
+                 value_ring, use_cnt, life_cnt, lt_use, lt_life) = write(
+                    variables, frames[n_read], pads, num_obj, key_ring,
+                    shr_ring, sel_ring, value_ring, use_cnt, life_cnt, size,
+                    lt_key, lt_shr, lt_value, lt_use, lt_life, lt_size,
+                    sensory, last_mask)
+                probs = prob_w[None] if probs is None else \
+                    jnp.concatenate([probs, prob_w[None]], 0)
+            if slice_channels:
+                probs = probs[:, :num_obj + 1]
+            return (probs, sensory, last_mask, key_ring, shr_ring, sel_ring,
+                    value_ring, use_cnt, life_cnt, lt_use, lt_life)
+
+        return fn
+
+    def run_block(self, variables, frames, num_obj, bucket, lt,
+                  sensory, last_mask, *, write_last: bool,
+                  work_usage: bool, count_lt_usage: bool):
+        """frames: [K, H, W, 3] device array; the first K-1 (or K if not
+        write_last) frames are read-only, the last one writes memory.
+        Updates bucket/lt in place; returns (probs [K, 1+num_obj, H, W],
+        sensory, last_mask)."""
+        use_lt = lt is not None and lt.size > 0
+        k, h, w = frames.shape[:3]
+        n_read = k - 1 if write_last else k
+        pads = pad_amounts(h, w, 16)
+        cache_key = ("block", n_read, write_last, use_lt, work_usage,
+                     count_lt_usage and use_lt)
+        if cache_key not in self._cache:
+            self._cache[cache_key] = self._build_block(
+                n_read, write_last, use_lt, work_usage,
+                count_lt_usage and use_lt)
+        fn = self._cache[cache_key]
+
+        if use_lt:
+            lt_args = (lt.key, lt.shrinkage, lt.value, lt.use_cnt,
+                       lt.life_cnt, lt.size)
+        else:
+            lt_args = (jnp.zeros((0, bucket.key.shape[1])), jnp.zeros((0,)),
+                       jnp.zeros((0, *bucket.value.shape[1:])), None, None, 0)
+
+        (probs, new_sensory, new_last_mask, key_ring, shr_ring, sel_ring,
+         value_ring, use_cnt, life_cnt, lt_use, lt_life) = fn(
+            variables, frames, pads, int(num_obj),
+            bucket.key, bucket.shrinkage, bucket.selection, bucket.value,
+            bucket.use_cnt, bucket.life_cnt, bucket.size, *lt_args,
+            sensory, last_mask)
+
+        if write_last:
+            bucket.key, bucket.shrinkage = key_ring, shr_ring
+            bucket.selection, bucket.value = sel_ring, value_ring
+            lw, uw, lh, uh = pads
+            bucket.size += ((h + lh + uh) // 16) * ((w + lw + uw) // 16)
+        if work_usage:
+            bucket.use_cnt, bucket.life_cnt = use_cnt, life_cnt
+        if use_lt and count_lt_usage:
+            lt.use_cnt, lt.life_cnt = lt_use, lt_life
+        return probs, new_sensory, new_last_mask
+
     # -- multi-frame chunks ---------------------------------------------------
 
     def _build_chunk(self, use_lt: bool, work_usage: bool,
@@ -210,6 +325,7 @@ class FusedStepper:
         dispatch TPU setups, and a net win on-device too."""
         model = self.model
         top_k = self.top_k
+        topk_method = self.topk_method
 
         def step_body(variables, pads, num_obj, carry, frame, write):
             (key_ring, shr_ring, sel_ring, value_ring, use_cnt, life_cnt,
@@ -234,7 +350,8 @@ class FusedStepper:
                     jnp.concatenate([lt_key, key_ring], 0),
                     jnp.concatenate([lt_shr, shr_ring], 0), qk, qe)
                 aff, usage = ma.topk_softmax(sim, top_k, valid,
-                                             return_usage=True)
+                                             return_usage=True,
+                                             method=topk_method)
                 rd = _readout_token_major(
                     aff, jnp.concatenate([lt_value, value_ring], 0))
                 lt_usage, work_usage_arr = usage[:lcap], usage[lcap:]
@@ -243,9 +360,11 @@ class FusedStepper:
                 sim = ma.get_similarity(key_ring, shr_ring, qk, qe)
                 if work_usage:
                     aff, work_usage_arr = ma.topk_softmax(
-                        sim, top_k, valid, return_usage=True)
+                        sim, top_k, valid, return_usage=True,
+                        method=topk_method)
                 else:
-                    aff = ma.topk_softmax(sim, top_k, valid)
+                    aff = ma.topk_softmax(sim, top_k, valid,
+                                          method=topk_method)
                 rd = _readout_token_major(aff, value_ring)
 
             if work_usage:

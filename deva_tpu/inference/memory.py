@@ -89,21 +89,25 @@ def _readout_token_major(aff: jnp.ndarray, value: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(aff.shape[0], o, cv).transpose(1, 0, 2)
 
 
-@functools.partial(jax.jit, static_argnames=("top_k", "return_usage"))
-def _bucket_attend(key, shr, value, size, qk, qe, top_k, return_usage):
+@functools.partial(jax.jit,
+                   static_argnames=("top_k", "return_usage", "method"))
+def _bucket_attend(key, shr, value, size, qk, qe, top_k, return_usage,
+                   method="auto"):
     cap = key.shape[0]
     valid = jnp.arange(cap) < size
     sim = ma.get_similarity(key, shr, qk, qe)
     if return_usage:
-        aff, usage = ma.topk_softmax(sim, top_k, valid, return_usage=True)
+        aff, usage = ma.topk_softmax(sim, top_k, valid, return_usage=True,
+                                     method=method)
         return _readout_token_major(aff, value), usage
-    aff = ma.topk_softmax(sim, top_k, valid)
+    aff = ma.topk_softmax(sim, top_k, valid, method=method)
     return _readout_token_major(aff, value)
 
 
-@functools.partial(jax.jit, static_argnames=("top_k",))
+@functools.partial(jax.jit, static_argnames=("top_k", "method"))
 def _bucket_attend_with_long(lt_key, lt_shr, lt_value, lt_size,
-                             key, shr, value, size, qk, qe, top_k):
+                             key, shr, value, size, qk, qe, top_k,
+                             method="auto"):
     """Attention over [long-term ; working] concatenated rings.
     reference:memory_manager.py:107-134."""
     lcap, cap = lt_key.shape[0], key.shape[0]
@@ -111,7 +115,8 @@ def _bucket_attend_with_long(lt_key, lt_shr, lt_value, lt_size,
                              jnp.arange(cap) < size])
     sim = ma.get_similarity(jnp.concatenate([lt_key, key], axis=0),
                             jnp.concatenate([lt_shr, shr], axis=0), qk, qe)
-    aff, usage = ma.topk_softmax(sim, top_k, valid, return_usage=True)
+    aff, usage = ma.topk_softmax(sim, top_k, valid, return_usage=True,
+                                 method=method)
     rd = _readout_token_major(aff, jnp.concatenate([lt_value, value], axis=0))
     return rd, usage[:lcap], usage[lcap:]
 
@@ -241,6 +246,7 @@ class MemoryEngine:
         self.cv = value_dim
         self.o_cap = o_cap
         self.top_k = config.top_k
+        self.topk_method = config.topk_method
         self.use_long_term = config.enable_long_term
         self.count_long_term_usage = config.enable_long_term_count_usage
         self.ring_dtype = jnp.bfloat16 if config.ring_dtype == "bfloat16" \
@@ -431,7 +437,7 @@ class MemoryEngine:
                 rd, lt_usage, usage = _bucket_attend_with_long(
                     lt.key, lt.shrinkage, lt.value, lt.size,
                     b.key, b.shrinkage, b.value, b.size, qk, qe,
-                    top_k=self.top_k)
+                    top_k=self.top_k, method=self.topk_method)
                 b.use_cnt, b.life_cnt = _update_usage(
                     b.use_cnt, b.life_cnt, usage, b.size)
                 if self.count_long_term_usage:
@@ -440,13 +446,15 @@ class MemoryEngine:
             elif self.use_long_term:
                 rd, usage = _bucket_attend(b.key, b.shrinkage, b.value, b.size,
                                            qk, qe, top_k=self.top_k,
-                                           return_usage=True)
+                                           return_usage=True,
+                                           method=self.topk_method)
                 b.use_cnt, b.life_cnt = _update_usage(
                     b.use_cnt, b.life_cnt, usage, b.size)
             else:
                 rd = _bucket_attend(b.key, b.shrinkage, b.value, b.size,
                                     qk, qe, top_k=self.top_k,
-                                    return_usage=False)
+                                    return_usage=False,
+                                    method=self.topk_method)
             rows = [obj_rows[o] for o in b.obj_ids]
             out = out.at[jnp.asarray(rows, jnp.int32)].set(
                 rd[:len(rows)].astype(jnp.float32))

@@ -60,15 +60,45 @@ def get_similarity(mk: jnp.ndarray,
     return sim
 
 
+_DEFAULT_TOPK_METHOD: Optional[str] = None
+
+
+def default_topk_method() -> str:
+    """'approx' on TPU, 'exact' elsewhere. jax.lax.top_k over a large token
+    axis lowers to a full sort on TPU (~280 ms at [8x1620, 21060] on v5e —
+    measured, scripts/probe_topk.py) while lax.approx_max_k uses the TPU's
+    native PartialReduce (~15 ms). CPU (tests, golden parity) stays exact."""
+    global _DEFAULT_TOPK_METHOD
+    if _DEFAULT_TOPK_METHOD is None:
+        _DEFAULT_TOPK_METHOD = ("approx" if jax.default_backend() == "tpu"
+                                else "exact")
+    return _DEFAULT_TOPK_METHOD
+
+
+def resolve_topk_method(method: Optional[str]) -> str:
+    if method in (None, "auto"):
+        return default_topk_method()
+    assert method in ("exact", "approx"), method
+    return method
+
+
 def topk_softmax(sim: jnp.ndarray,
                  top_k: int,
                  valid: Optional[jnp.ndarray] = None,
-                 return_usage: bool = False):
+                 return_usage: bool = False,
+                 method: Optional[str] = "auto"):
     """Top-k-restricted softmax over the token axis (last axis of [Q, N]).
 
-    Matches reference:deva/model/memory_utils.py:48-76: select top_k entries
-    per query, exponentiate WITHOUT max subtraction (similarity <= 0 by
-    construction), normalize, scatter back to a dense [Q, N] affinity.
+    method='exact' matches reference:deva/model/memory_utils.py:48-76: select
+    top_k entries per query, exponentiate, normalize, scatter back to a dense
+    [Q, N] affinity.
+
+    method='approx' (TPU serving default) thresholds the dense similarity at
+    the approx-top-k k-th value instead: since any k returned values have
+    their minimum <= the true k-th largest, the support {sim >= kth} always
+    CONTAINS the exact top-k; the (rare) extra entries carry weights no
+    larger than the smallest exact-top-k weight. No sort, no scatter — just
+    lax.approx_max_k (native TPU PartialReduce) plus elementwise passes.
 
     valid: [N] bool; invalid tokens are masked to -inf (exp -> 0 exactly).
     usage (if requested): affinity summed over queries, per token: [N].
@@ -76,6 +106,18 @@ def topk_softmax(sim: jnp.ndarray,
     if valid is not None:
         sim = jnp.where(valid[None, :], sim, -jnp.inf)
     q, n = sim.shape
+    if resolve_topk_method(method) == "approx" and n >= 4 * top_k:
+        vals, _ = jax.lax.approx_max_k(sim, top_k)
+        kth = vals[..., -1:]
+        row_max = vals[..., :1]
+        row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
+        # sim >= -inf is True, so rows with < k valid tokens degrade to a
+        # full softmax over the valid ones — same as the exact path.
+        e = jnp.where(sim >= kth, jnp.exp(sim - row_max), 0.0)
+        affinity = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+        if return_usage:
+            return affinity, affinity.sum(axis=0)
+        return affinity
     values, indices = jax.lax.top_k(sim, top_k)  # [Q, K]
     # The reference exponentiates without max subtraction (sim <= 0 so exp
     # never overflows, reference:memory_utils.py:59-60) — but it can
@@ -122,7 +164,8 @@ def attend(mk: jnp.ndarray,
            qe: Optional[jnp.ndarray],
            top_k: int,
            valid: Optional[jnp.ndarray] = None,
-           return_usage: bool = False):
+           return_usage: bool = False,
+           method: Optional[str] = "auto"):
     """similarity -> top-k softmax -> readout, in one call.
 
     mk [N, Ck], ms [N], values [O, N, Cv], qk [Q, Ck], qe [Q, Ck]
@@ -130,7 +173,8 @@ def attend(mk: jnp.ndarray,
     """
     sim = get_similarity(mk, ms, qk, qe)
     if return_usage:
-        affinity, usage = topk_softmax(sim, top_k, valid, return_usage=True)
+        affinity, usage = topk_softmax(sim, top_k, valid, return_usage=True,
+                                       method=method)
         return readout(affinity, values), usage
-    affinity = topk_softmax(sim, top_k, valid)
+    affinity = topk_softmax(sim, top_k, valid, method=method)
     return readout(affinity, values)

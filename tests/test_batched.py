@@ -67,3 +67,63 @@ def test_batched_equals_sequential():
                 diff = got.argmax(0) != want.argmax(0)
                 assert diff.mean() <= 0.02, \
                     f"video {vi} frame {ti}: argmax {diff.mean():.2%}"
+
+
+def test_block_equals_per_frame_stepping():
+    """step_block (K frames per launch, scan prefix + write tail) must
+    produce the same probabilities and ring state as per-frame step_all."""
+    model = DEVANetwork(ModelConfig())
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)),
+                           jnp.zeros((1, 1, 32, 32)),
+                           jnp.zeros((1, 1, 2, 2, 512)))
+    cfg = InferenceConfig(mem_every=3, top_k=8, enable_long_term=False)
+
+    rng = np.random.default_rng(7)
+    t = 7  # frame 0 init; blocks of K=3 cover frames 1..6 (writes at 3, 6)
+    vids = [_video(rng, t, 1), _video(rng, t, 2)]
+    objects = [[1], [1, 2]]
+
+    def fresh():
+        bp = BatchedPropagator(model, variables, cfg)
+        bp.initialize([v[0][0] for v in vids], [v[1] for v in vids], objects)
+        return bp
+
+    ref = fresh()
+    ref_probs = [np.asarray(ref.step_all([v[0][ti] for v in vids]))
+                 for ti in range(1, t)]
+
+    blk = fresh()
+    blk.reserve(2)
+    out = []
+    for t0 in (1, 4):
+        probs = blk.step_block(
+            np.stack([np.stack(v[0][t0:t0 + 3]) for v in vids]))
+        out.extend(np.asarray(probs[:, i]) for i in range(3))
+
+    assert int(blk.sizes[0]) == int(ref.sizes[0])
+    assert blk._last_mem_ti() == ref._last_mem_ti()
+    for ti, (got, want) in enumerate(zip(out, ref_probs), start=1):
+        bad = (np.abs(got - want) > 5e-3).any(axis=1)
+        assert bad.mean() <= 0.02, f"frame {ti}: {bad.mean():.2%} differ"
+        diff = got.argmax(1) != want.argmax(1)
+        assert diff.mean() <= 0.02, f"frame {ti}: argmax {diff.mean():.2%}"
+
+
+def test_block_end_no_write():
+    """end=True blocks must not write memory and must not update _mem_ti."""
+    model = DEVANetwork(ModelConfig())
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)),
+                           jnp.zeros((1, 1, 32, 32)),
+                           jnp.zeros((1, 1, 2, 2, 512)))
+    cfg = InferenceConfig(mem_every=3, top_k=8, enable_long_term=False)
+    rng = np.random.default_rng(8)
+    vids = [_video(rng, 4, 1)]
+    bp = BatchedPropagator(model, variables, cfg)
+    bp.initialize([vids[0][0][0]], [vids[0][1]], [[1]])
+    size0 = int(bp.sizes[0])
+    probs = bp.step_block(np.stack([np.stack(vids[0][0][1:4])]), end=True)
+    assert probs.shape[1] == 3
+    assert int(bp.sizes[0]) == size0
+    assert bp._last_mem_ti() == 0

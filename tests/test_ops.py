@@ -149,3 +149,23 @@ def test_full_softmax_matches_reference():
     ref_aff = ref_memory_utils.do_softmax(ref_sim)
     np.testing.assert_allclose(np.asarray(ours), ref_aff[0].numpy().T,
                                rtol=1e-4, atol=1e-6)
+
+
+def test_topk_softmax_approx_matches_exact():
+    """The approx method's support provably contains the exact top-k; on CPU
+    lax.approx_max_k is itself exact, so the two paths must agree (including
+    usage and the <k-valid-tokens degenerate row)."""
+    mk, ms, qk, qe, v = _random_attention_inputs(n=512)
+    sim = ma.get_similarity(jnp.asarray(mk), jnp.asarray(ms),
+                            jnp.asarray(qk), jnp.asarray(qe))
+    for n_valid in (512, 300, 10):  # 10 < top_k: full softmax over valid
+        valid = jnp.arange(512) < n_valid
+        a_ex, u_ex = ma.topk_softmax(sim, 30, valid, return_usage=True,
+                                     method="exact")
+        a_ap, u_ap = ma.topk_softmax(sim, 30, valid, return_usage=True,
+                                     method="approx")
+        np.testing.assert_allclose(np.asarray(a_ap), np.asarray(a_ex),
+                                   rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(u_ap), np.asarray(u_ex),
+                                   rtol=1e-4, atol=1e-6)
+        assert np.all(np.asarray(a_ap)[:, n_valid:] == 0)
