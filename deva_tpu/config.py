@@ -76,7 +76,9 @@ class InferenceConfig:
 
     # object-axis padding buckets: device tensors over the object axis are padded
     # up to the next entry so frame-to-frame steps never retrace as objects churn.
-    obj_pad_buckets: tuple = (1, 2, 4, 8, 16, 32, 64, 128, 256)
+    # (3 is a first-class bucket: DAVIS-style videos average 2-3 objects and
+    # the decoder/mask-encoder cost scales linearly with the padded count)
+    obj_pad_buckets: tuple = (1, 2, 3, 4, 8, 16, 32, 64, 128, 256)
 
     def pad_objects(self, n: int) -> int:
         for b in self.obj_pad_buckets:
