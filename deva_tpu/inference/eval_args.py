@@ -58,6 +58,69 @@ def add_common_eval_args(parser: ArgumentParser) -> None:
     parser.add_argument("--ring_dtype", default=None,
                         help="memory ring dtype (float32/bfloat16; defaults "
                         "to bfloat16 with --amp)")
+    parser.add_argument("--profile", default=None, metavar="DIR",
+                        help="write a jax.profiler trace of the whole run to "
+                        "DIR (view with tensorboard / xprof)")
+    parser.add_argument("--raise_on_error", action="store_true",
+                        help="re-raise per-video errors instead of logging "
+                        "and continuing with the next video (the reference "
+                        "re-raises: reference:evaluation/eval_vos.py:213-216)")
+
+
+class video_fault_barrier:
+    """Per-video fault isolation: log the failure and keep the run alive.
+
+    The reference wraps each video in try/except that prints and re-raises
+    (reference:evaluation/eval_vos.py:213-216, eval_with_detections.py:316-319
+    — with a "comment this out if you want" note on the raise); here one
+    poisoned video must not kill a whole benchmark run, so the default is
+    log-and-continue; --raise_on_error restores the reference behavior.
+    """
+
+    def __init__(self, vid_name: str, reraise: bool = False):
+        self.vid_name = vid_name
+        self.reraise = reraise
+        self.failed = False
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, etype, e, tb):
+        if e is None or etype in (KeyboardInterrupt, SystemExit):
+            return False
+        print(f"Runtime error at {self.vid_name}")
+        print(e)
+        if self.reraise:
+            return False
+        import traceback
+        traceback.print_exc()
+        self.failed = True
+        print(f"Skipping {self.vid_name} and continuing.")
+        return True
+
+
+def start_profile(profile_dir):
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+        print(f"jax.profiler trace -> {profile_dir}")
+
+
+def stop_profile(profile_dir):
+    if profile_dir:
+        jax.profiler.stop_trace()
+
+
+def report_max_memory():
+    """Print peak device memory, the TPU analog of the reference's
+    torch.cuda.max_memory_allocated() report
+    (reference:evaluation/eval_vos.py:221)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        peak = stats.get("peak_bytes_in_use")
+        if peak is not None:
+            print(f"Max allocated memory (MB): {peak / (2 ** 20):.1f}")
+    except Exception:
+        pass  # memory_stats is not available on every backend
 
 
 def make_inference_config(args, **overrides) -> InferenceConfig:
@@ -91,7 +154,7 @@ def load_variables(model: DEVANetwork, model_path: str):
             return {"params": tree["params"],
                     "batch_stats": tree["batch_stats"]}
         from deva_tpu.models.convert import load_torch_checkpoint
-        return load_torch_checkpoint(model_path)
+        return load_torch_checkpoint(model_path, model_config=model.config)
     print(f"No model loaded ({model_path!r} not found); using random init.")
     return model.init(jax.random.PRNGKey(42),
                       jnp.zeros((1, 32, 32, 3)),

@@ -26,7 +26,8 @@ from deva_tpu.inference.consensus import \
     find_consensus_with_established_association
 from deva_tpu.inference.core import InferenceCore
 from deva_tpu.inference.eval_args import (add_common_eval_args,
-                                          get_model_and_config)
+                                          get_model_and_config,
+                                          video_fault_barrier)
 from deva_tpu.inference.feature_store import ImageFeatureStore
 from deva_tpu.inference.result_saver import ResultSaver
 from deva_tpu.utils.palette import davis_palette
@@ -83,55 +84,56 @@ def main():
     total_time, total_frames = 0.0, 0
 
     for vid_name in meta_dataset.get_videos():
-        video_scores = meta_dataset.get_scores(vid_name)
-        store_core = InferenceCore(model, variables, base_cfg)
-        image_feature_store = store_core.image_feature_store
+        with video_fault_barrier(vid_name, args.raise_on_error):
+            video_scores = meta_dataset.get_scores(vid_name)
+            store_core = InferenceCore(model, variables, base_cfg)
+            image_feature_store = store_core.image_feature_store
 
-        vid_reader = meta_dataset.get_offline_sampled_frames(
-            vid_name, args.num_voting_frames)
-        time_indices, images, masks, scores = [], [], [], []
-        for ti in range(len(vid_reader)):
-            data = vid_reader[ti]
-            time_indices.append(data["info"]["time_index"])
-            images.append(data["rgb"])
-            masks.append(data["mask"])
-            scores.append(video_scores[data["info"]["frame"][:-4]])
+            vid_reader = meta_dataset.get_offline_sampled_frames(
+                vid_name, args.num_voting_frames)
+            time_indices, images, masks, scores = [], [], [], []
+            for ti in range(len(vid_reader)):
+                data = vid_reader[ti]
+                time_indices.append(data["info"]["time_index"])
+                images.append(data["rgb"])
+                masks.append(data["mask"])
+                scores.append(video_scores[data["info"]["frame"][:-4]])
 
-        t0 = time.perf_counter()
-        keyframe_ti, projected_mask = \
-            find_consensus_with_established_association(
-                time_indices, images, masks, store_core, scores=scores)
-        total_time += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            keyframe_ti, projected_mask = \
+                find_consensus_with_established_association(
+                    time_indices, images, masks, store_core, scores=scores)
+            total_time += time.perf_counter() - t0
 
-        result_savers = []
+            result_savers = []
 
-        def save_fn(processor, prob, info):
-            # one saver per processor (object manager differs between passes)
-            if not result_savers or result_savers[-1][0] is not processor:
-                rs = ResultSaver(out_path, vid_name, dataset="ref_davis",
-                                 palette=davis_palette(),
-                                 object_manager=processor.object_manager)
-                result_savers.append((processor, rs))
-            rs = result_savers[-1][1]
-            rs.save_mask(prob, info["frame"],
-                         need_resize=info["need_resize"],
-                         shape=info["shape"])
+            def save_fn(processor, prob, info):
+                # one saver per processor (object manager differs between passes)
+                if not result_savers or result_savers[-1][0] is not processor:
+                    rs = ResultSaver(out_path, vid_name, dataset="ref_davis",
+                                     palette=davis_palette(),
+                                     object_manager=processor.object_manager)
+                    result_savers.append((processor, rs))
+                rs = result_savers[-1][1]
+                rs.save_mask(prob, info["frame"],
+                             need_resize=info["need_resize"],
+                             shape=info["shape"])
 
-        stats = run_bidirectional(
-            model, variables, base_cfg, meta_dataset=meta_dataset,
-            vid_name=vid_name, keyframe_ti=keyframe_ti,
-            projected_mask=projected_mask, time_indices=time_indices,
-            out_path=out_path, image_feature_store=image_feature_store,
-            save_fn=save_fn)
-        for _, rs in result_savers:
-            rs.end()
-        total_time += stats["time"]
-        total_frames += stats["frames"]
+            stats = run_bidirectional(
+                model, variables, base_cfg, meta_dataset=meta_dataset,
+                vid_name=vid_name, keyframe_ti=keyframe_ti,
+                projected_mask=projected_mask, time_indices=time_indices,
+                out_path=out_path, image_feature_store=image_feature_store,
+                save_fn=save_fn)
+            for _, rs in result_savers:
+                rs.end()
+            total_time += stats["time"]
+            total_frames += stats["frames"]
 
-        os.makedirs(path.join(out_path, vid_name), exist_ok=True)
-        with open(path.join(out_path, vid_name, "key.txt"), "w") as f:
-            f.write(f"options: {time_indices}; keyframe: {keyframe_ti}")
-        print(f"{vid_name}: keyframe {keyframe_ti}")
+            os.makedirs(path.join(out_path, vid_name), exist_ok=True)
+            with open(path.join(out_path, vid_name, "key.txt"), "w") as f:
+                f.write(f"options: {time_indices}; keyframe: {keyframe_ti}")
+            print(f"{vid_name}: keyframe {keyframe_ti}")
 
     print(f"Total processing time: {total_time}")
     print(f"Total processed frames: {total_frames}")

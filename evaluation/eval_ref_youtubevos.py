@@ -27,7 +27,8 @@ from deva_tpu.inference.consensus import \
     find_consensus_with_established_association
 from deva_tpu.inference.core import InferenceCore
 from deva_tpu.inference.eval_args import (add_common_eval_args,
-                                          get_model_and_config)
+                                          get_model_and_config,
+                                          video_fault_barrier)
 from deva_tpu.utils.load_subset import load_referring_yv_val
 
 
@@ -54,76 +55,77 @@ def main():
 
     total_time, total_frames = 0.0, 0
     for vid_name in sorted(video_subset):
-        objects = meta_dataset.get_objects(vid_name)
-        video_scores = meta_dataset.get_scores(vid_name)
-        shared_core = InferenceCore(model, variables, base_cfg)
-        image_feature_store = shared_core.image_feature_store
+        with video_fault_barrier(vid_name, args.raise_on_error):
+            objects = meta_dataset.get_objects(vid_name)
+            video_scores = meta_dataset.get_scores(vid_name)
+            shared_core = InferenceCore(model, variables, base_cfg)
+            image_feature_store = shared_core.image_feature_store
 
-        for object_name in objects:
-            object_scores = video_scores[object_name]
-            vid_reader = meta_dataset.get_offline_sampled_frames(
-                vid_name, object_name, args.num_voting_frames)
-            time_indices, images, masks, scores = [], [], [], []
-            for ti in range(len(vid_reader)):
-                data = vid_reader[ti]
-                time_indices.append(data["info"]["time_index"])
-                images.append(data["rgb"])
-                masks.append(data["mask"])
-                scores.append(object_scores[data["info"]["frame"][:-4]])
+            for object_name in objects:
+                object_scores = video_scores[object_name]
+                vid_reader = meta_dataset.get_offline_sampled_frames(
+                    vid_name, object_name, args.num_voting_frames)
+                time_indices, images, masks, scores = [], [], [], []
+                for ti in range(len(vid_reader)):
+                    data = vid_reader[ti]
+                    time_indices.append(data["info"]["time_index"])
+                    images.append(data["rgb"])
+                    masks.append(data["mask"])
+                    scores.append(object_scores[data["info"]["frame"][:-4]])
 
-            t0 = time.perf_counter()
-            keyframe_ti, projected_mask = \
-                find_consensus_with_established_association(
-                    time_indices, images, masks, shared_core, scores=scores)
-            total_time += time.perf_counter() - t0
+                t0 = time.perf_counter()
+                keyframe_ti, projected_mask = \
+                    find_consensus_with_established_association(
+                        time_indices, images, masks, shared_core, scores=scores)
+                total_time += time.perf_counter() - t0
 
-            for reader in (
-                    meta_dataset.get_partial_video_loader(
-                        vid_name, object_name, start=-1,
-                        end=keyframe_ti + 1, reverse=True),
-                    meta_dataset.get_partial_video_loader(
-                        vid_name, object_name, start=keyframe_ti, end=-1,
-                        reverse=False)):
-                vid_length = len(reader)
-                count_usage = (base_cfg.enable_long_term and (
-                    vid_length / (base_cfg.max_mid_term_frames -
-                                  base_cfg.min_mid_term_frames) *
-                    base_cfg.num_prototypes) >=
-                    base_cfg.max_long_term_elements)
-                cfg = dataclasses.replace(
-                    base_cfg, enable_long_term_count_usage=count_usage)
-                processor = InferenceCore(
-                    model, variables, cfg,
-                    image_feature_store=image_feature_store)
-                for ti in range(vid_length):
-                    data = reader[ti]
-                    info = data["info"]
-                    image_ti = info["time_index"]
-                    mask = projected_mask if image_ti == keyframe_ti else None
-                    t0 = time.perf_counter()
-                    prob = processor.step(data["rgb"], mask,
-                                          end=(ti == vid_length - 1),
-                                          hard_mask=False,
-                                          image_ti_override=image_ti,
-                                          delete_buffer=False)
-                    prob = np.asarray(jax.block_until_ready(prob))
-                    total_time += time.perf_counter() - t0
-                    total_frames += 1
+                for reader in (
+                        meta_dataset.get_partial_video_loader(
+                            vid_name, object_name, start=-1,
+                            end=keyframe_ti + 1, reverse=True),
+                        meta_dataset.get_partial_video_loader(
+                            vid_name, object_name, start=keyframe_ti, end=-1,
+                            reverse=False)):
+                    vid_length = len(reader)
+                    count_usage = (base_cfg.enable_long_term and (
+                        vid_length / (base_cfg.max_mid_term_frames -
+                                      base_cfg.min_mid_term_frames) *
+                        base_cfg.num_prototypes) >=
+                        base_cfg.max_long_term_elements)
+                    cfg = dataclasses.replace(
+                        base_cfg, enable_long_term_count_usage=count_usage)
+                    processor = InferenceCore(
+                        model, variables, cfg,
+                        image_feature_store=image_feature_store)
+                    for ti in range(vid_length):
+                        data = reader[ti]
+                        info = data["info"]
+                        image_ti = info["time_index"]
+                        mask = projected_mask if image_ti == keyframe_ti else None
+                        t0 = time.perf_counter()
+                        prob = processor.step(data["rgb"], mask,
+                                              end=(ti == vid_length - 1),
+                                              hard_mask=False,
+                                              image_ti_override=image_ti,
+                                              delete_buffer=False)
+                        prob = np.asarray(jax.block_until_ready(prob))
+                        total_time += time.perf_counter() - t0
+                        total_frames += 1
 
-                    if info["need_resize"]:
-                        prob = resize_prob_to(prob, tuple(info["shape"]))
-                    out_mask = (prob[1] > prob[0]).astype(np.uint8) * 255
-                    if args.save_all or info["save"]:
-                        d = path.join(out_path, "Annotations", vid_name,
-                                      object_name)
-                        os.makedirs(d, exist_ok=True)
-                        Image.fromarray(out_mask).save(
-                            path.join(d, info["frame"][:-4] + ".png"))
+                        if info["need_resize"]:
+                            prob = resize_prob_to(prob, tuple(info["shape"]))
+                        out_mask = (prob[1] > prob[0]).astype(np.uint8) * 255
+                        if args.save_all or info["save"]:
+                            d = path.join(out_path, "Annotations", vid_name,
+                                          object_name)
+                            os.makedirs(d, exist_ok=True)
+                            Image.fromarray(out_mask).save(
+                                path.join(d, info["frame"][:-4] + ".png"))
 
-            d = path.join(out_path, "Annotations", vid_name, object_name)
-            os.makedirs(d, exist_ok=True)
-            with open(path.join(d, "key.txt"), "w") as f:
-                f.write(f"options: {time_indices}; keyframe: {keyframe_ti}")
+                d = path.join(out_path, "Annotations", vid_name, object_name)
+                os.makedirs(d, exist_ok=True)
+                with open(path.join(d, "key.txt"), "w") as f:
+                    f.write(f"options: {time_indices}; keyframe: {keyframe_ti}")
 
     print(f"Total processing time: {total_time}")
     print(f"Total processed frames: {total_frames}")

@@ -31,7 +31,9 @@ from deva_tpu.data.vos_test_datasets import (DAVISTestDataset,
 from deva_tpu.data.transforms import resize_prob_to
 from deva_tpu.inference.core import InferenceCore
 from deva_tpu.inference.eval_args import (add_common_eval_args,
-                                          get_model_and_config)
+                                          get_model_and_config,
+                                          report_max_memory, start_profile,
+                                          stop_profile, video_fault_barrier)
 
 import dataclasses
 
@@ -93,6 +95,7 @@ def main():
 
     total_process_time = 0.0
     total_frames = 0
+    start_profile(args.profile)
 
     for vid_reader in meta_dataset.get_datasets():
         vid_name = vid_reader.vid_name
@@ -110,68 +113,71 @@ def main():
         first_mask_loaded = False
         print(f"{vid_name} ({vid_length} frames)")
 
-        for ti in range(vid_length):
-            data = vid_reader[ti]
-            image = data["rgb"]
-            mask = data.get("mask")
-            valid_labels = data.get("valid_labels")
-            if valid_labels is not None:
-                valid_labels = [int(v) for v in valid_labels]
-            info = data["info"]
-            frame = info["frame"]
-            shape = info["shape"]
-            need_resize = info["need_resize"]
+        with video_fault_barrier(vid_name, args.raise_on_error):
+            for ti in range(vid_length):
+                data = vid_reader[ti]
+                image = data["rgb"]
+                mask = data.get("mask")
+                valid_labels = data.get("valid_labels")
+                if valid_labels is not None:
+                    valid_labels = [int(v) for v in valid_labels]
+                info = data["info"]
+                frame = info["frame"]
+                shape = info["shape"]
+                need_resize = info["need_resize"]
 
-            if not first_mask_loaded:
-                if mask is not None:
-                    first_mask_loaded = True
-                else:
-                    continue
+                if not first_mask_loaded:
+                    if mask is not None:
+                        first_mask_loaded = True
+                    else:
+                        continue
 
-            if args.flip:
-                image = image[:, ::-1].copy()
-                mask = mask[..., ::-1].copy() if mask is not None else None
+                if args.flip:
+                    image = image[:, ::-1].copy()
+                    mask = mask[..., ::-1].copy() if mask is not None else None
 
-            start = time.perf_counter()
-            prob = processor.step(image, mask, valid_labels,
-                                  end=(ti == vid_length - 1))
-            prob = jax.block_until_ready(prob)
-            total_process_time += time.perf_counter() - start
-            total_frames += 1
+                start = time.perf_counter()
+                prob = processor.step(image, mask, valid_labels,
+                                      end=(ti == vid_length - 1))
+                prob = jax.block_until_ready(prob)
+                total_process_time += time.perf_counter() - start
+                total_frames += 1
 
-            prob = np.asarray(prob)
-            if need_resize:
-                prob = resize_prob_to(prob, tuple(shape))
-            if args.flip:
-                prob = prob[..., ::-1]
+                prob = np.asarray(prob)
+                if need_resize:
+                    prob = resize_prob_to(prob, tuple(shape))
+                if args.flip:
+                    prob = prob[..., ::-1]
 
-            out_mask = np.argmax(prob, axis=0)
-            out_mask = processor.object_manager.tmp_cls_to_obj_cls(out_mask)
+                out_mask = np.argmax(prob, axis=0)
+                out_mask = processor.object_manager.tmp_cls_to_obj_cls(out_mask)
 
-            if args.save_all or info["save"]:
-                this_out_path = path.join(out_path, vid_name)
-                os.makedirs(this_out_path, exist_ok=True)
-                out_img = Image.fromarray(out_mask.astype(np.uint8))
-                if vid_reader.get_palette() is not None:
-                    out_img.putpalette(vid_reader.get_palette())
-                out_img.save(path.join(this_out_path, frame[:-4] + ".png"))
-
-            if args.save_scores:
-                np_path = path.join(args.output, "Scores", vid_name)
-                os.makedirs(np_path, exist_ok=True)
-                if ti == vid_length - 1:
-                    np.save(path.join(np_path, "backward.npy"),
-                            {o.id: t for t, o in
-                             processor.object_manager.tmp_id_to_obj.items()},
-                            allow_pickle=True)
                 if args.save_all or info["save"]:
-                    np.save(path.join(np_path, f"{frame[:-4]}.npy"),
-                            (prob * 255).astype(np.uint8))
+                    this_out_path = path.join(out_path, vid_name)
+                    os.makedirs(this_out_path, exist_ok=True)
+                    out_img = Image.fromarray(out_mask.astype(np.uint8))
+                    if vid_reader.get_palette() is not None:
+                        out_img.putpalette(vid_reader.get_palette())
+                    out_img.save(path.join(this_out_path, frame[:-4] + ".png"))
 
+                if args.save_scores:
+                    np_path = path.join(args.output, "Scores", vid_name)
+                    os.makedirs(np_path, exist_ok=True)
+                    if ti == vid_length - 1:
+                        np.save(path.join(np_path, "backward.npy"),
+                                {o.id: t for t, o in
+                                 processor.object_manager.tmp_id_to_obj.items()},
+                                allow_pickle=True)
+                    if args.save_all or info["save"]:
+                        np.save(path.join(np_path, f"{frame[:-4]}.npy"),
+                                (prob * 255).astype(np.uint8))
+
+    stop_profile(args.profile)
     print(f"Total processing time: {total_process_time}")
     print(f"Total processed frames: {total_frames}")
     if total_process_time > 0:
         print(f"FPS: {total_frames / total_process_time}")
+    report_max_memory()
 
     if not args.save_scores:
         if is_youtube:

@@ -33,7 +33,9 @@ from deva_tpu.data.vps_test_datasets import (BURSTDetectionTestDataset,
                                              VIPSegDetectionTestDataset)
 from deva_tpu.inference.core import InferenceCore
 from deva_tpu.inference.eval_args import (add_common_eval_args,
-                                          get_model_and_config)
+                                          get_model_and_config,
+                                          report_max_memory, start_profile,
+                                          stop_profile, video_fault_barrier)
 from deva_tpu.inference.frame_utils import FrameInfo
 from deva_tpu.inference.object_utils import convert_json_dict_to_objects_info
 from deva_tpu.inference.result_saver import ResultSaver
@@ -102,6 +104,7 @@ def main():
     output_json_annotations = []
     total_process_time = 0.0
     total_frames = 0
+    start_profile(args.profile)
 
     base_cfg = dataclasses.replace(
         base_cfg,
@@ -136,100 +139,104 @@ def main():
             total_frames += 1
             return np.asarray(out)
 
-        for ti in range(vid_length):
-            data = vid_reader[ti]
-            image = data["rgb"]
-            mask = data.get("mask")
-            info = data["info"]
-            frame = info["frame"]
-            shape = info["shape"]
-            need_resize = info["need_resize"]
-            path_to_image = info["path_to_image"]
-            if args.save_all:
-                info["save"] = True
-            if info["is_rgb"]:
-                processor.enabled_long_id()
-
-            segments_info_json = None
-            if not global_json_enabled:
-                json_path = info.get("json")
-                if per_vid_json_enabled is None:
-                    per_vid_json_enabled = json_path is not None
-                    print("Using per-video json."
-                          if per_vid_json_enabled else
-                          "Neither global nor per-video json exist.")
-                elif json_path is None and per_vid_json_enabled:
-                    raise RuntimeError(
-                        f"Per-video json not found for {vid_name}.")
-                if per_vid_json_enabled:
-                    with open(json_path) as f:
-                        segments_info_json = json.load(f)
+        barrier = video_fault_barrier(vid_name, args.raise_on_error)
+        with barrier:
+            for ti in range(vid_length):
+                data = vid_reader[ti]
+                image = data["rgb"]
+                mask = data.get("mask")
+                info = data["info"]
+                frame = info["frame"]
+                shape = info["shape"]
+                need_resize = info["need_resize"]
+                path_to_image = info["path_to_image"]
+                if args.save_all:
+                    info["save"] = True
+                if info["is_rgb"]:
                     processor.enabled_long_id()
-            else:
-                segments_info_json = \
-                    video_id_to_annotation[vid_name][ti]["segments_info"]
-                processor.enabled_long_id()
 
-            segments_info = convert_json_dict_to_objects_info(
-                mask, segments_info_json, dataset=dataset_name)
-            frame_info = FrameInfo(image, mask, segments_info, ti, info)
-
-            if temporal_setting == "semionline":
-                if ti + args.num_voting_frames > next_voting_frame:
-                    processor.add_to_temporary_buffer(frame_info)
-                    if ti == next_voting_frame:
-                        buf0 = processor.frame_buffer[0]
-
-                        def vote_and_incorporate():
-                            _, consensus_mask, new_segments_info = \
-                                processor.vote_in_temporary_buffer(
-                                    keyframe_selection="first")
-                            return processor.incorporate_detection(
-                                buf0.image, consensus_mask, new_segments_info)
-
-                        prob = timed(vote_and_incorporate)
-                        next_voting_frame += args.detection_every
-                        if next_voting_frame >= vid_length:
-                            next_voting_frame = (vid_length +
-                                                 args.num_voting_frames)
-                        if buf0.save_needed:
-                            result_saver.save_mask(
-                                prob, buf0.name, need_resize=need_resize,
-                                shape=buf0.shape,
-                                path_to_image=buf0.path_to_image)
-
-                        for fi in processor.frame_buffer[1:]:
-                            prob = timed(processor.step, fi.image, None, None,
-                                         end=(fi.ti == vid_length - 1))
-                            if fi.save_needed:
-                                result_saver.save_mask(
-                                    prob, fi.name, need_resize=need_resize,
-                                    shape=fi.shape,
-                                    path_to_image=fi.path_to_image)
-                        processor.clear_buffer()
+                segments_info_json = None
+                if not global_json_enabled:
+                    json_path = info.get("json")
+                    if per_vid_json_enabled is None:
+                        per_vid_json_enabled = json_path is not None
+                        print("Using per-video json."
+                              if per_vid_json_enabled else
+                              "Neither global nor per-video json exist.")
+                    elif json_path is None and per_vid_json_enabled:
+                        raise RuntimeError(
+                            f"Per-video json not found for {vid_name}.")
+                    if per_vid_json_enabled:
+                        with open(json_path) as f:
+                            segments_info_json = json.load(f)
+                        processor.enabled_long_id()
                 else:
-                    prob = timed(processor.step, image, None, None,
-                                 end=(ti == vid_length - 1))
+                    segments_info_json = \
+                        video_id_to_annotation[vid_name][ti]["segments_info"]
+                    processor.enabled_long_id()
+
+                segments_info = convert_json_dict_to_objects_info(
+                    mask, segments_info_json, dataset=dataset_name)
+                frame_info = FrameInfo(image, mask, segments_info, ti, info)
+
+                if temporal_setting == "semionline":
+                    if ti + args.num_voting_frames > next_voting_frame:
+                        processor.add_to_temporary_buffer(frame_info)
+                        if ti == next_voting_frame:
+                            buf0 = processor.frame_buffer[0]
+
+                            def vote_and_incorporate():
+                                _, consensus_mask, new_segments_info = \
+                                    processor.vote_in_temporary_buffer(
+                                        keyframe_selection="first")
+                                return processor.incorporate_detection(
+                                    buf0.image, consensus_mask, new_segments_info)
+
+                            prob = timed(vote_and_incorporate)
+                            next_voting_frame += args.detection_every
+                            if next_voting_frame >= vid_length:
+                                next_voting_frame = (vid_length +
+                                                     args.num_voting_frames)
+                            if buf0.save_needed:
+                                result_saver.save_mask(
+                                    prob, buf0.name, need_resize=need_resize,
+                                    shape=buf0.shape,
+                                    path_to_image=buf0.path_to_image)
+
+                            for fi in processor.frame_buffer[1:]:
+                                prob = timed(processor.step, fi.image, None, None,
+                                             end=(fi.ti == vid_length - 1))
+                                if fi.save_needed:
+                                    result_saver.save_mask(
+                                        prob, fi.name, need_resize=need_resize,
+                                        shape=fi.shape,
+                                        path_to_image=fi.path_to_image)
+                            processor.clear_buffer()
+                    else:
+                        prob = timed(processor.step, image, None, None,
+                                     end=(ti == vid_length - 1))
+                        if info["save"]:
+                            result_saver.save_mask(prob, frame,
+                                                   need_resize=need_resize,
+                                                   shape=shape,
+                                                   path_to_image=path_to_image)
+                else:  # online
+                    if ti % args.detection_every == 0:
+                        assert mask is not None
+                        prob = timed(processor.incorporate_detection, image, mask,
+                                     segments_info)
+                    else:
+                        prob = timed(processor.step, image, None, None,
+                                     end=(ti == vid_length - 1))
                     if info["save"]:
                         result_saver.save_mask(prob, frame,
                                                need_resize=need_resize,
                                                shape=shape,
                                                path_to_image=path_to_image)
-            else:  # online
-                if ti % args.detection_every == 0:
-                    assert mask is not None
-                    prob = timed(processor.incorporate_detection, image, mask,
-                                 segments_info)
-                else:
-                    prob = timed(processor.step, image, None, None,
-                                 end=(ti == vid_length - 1))
-                if info["save"]:
-                    result_saver.save_mask(prob, frame,
-                                           need_resize=need_resize,
-                                           shape=shape,
-                                           path_to_image=path_to_image)
 
         result_saver.end()
+        if barrier.failed:
+            continue
         if is_vipseg:
             output_json_annotations.append(result_saver.video_json)
         elif is_burst:
@@ -246,10 +253,12 @@ def main():
         with open(path.join(out_path, "pred.json"), "w") as f:
             json.dump({"annotations": output_json_annotations}, f)
 
+    stop_profile(args.profile)
     print(f"Total processing time: {total_process_time}")
     print(f"Total processed frames: {total_frames}")
     if total_process_time > 0:
         print(f"FPS: {total_frames / total_process_time}")
+    report_max_memory()
 
     if is_vipseg:
         from deva_tpu.metrics.stuff_merging import merge_stuff
