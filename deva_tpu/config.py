@@ -57,11 +57,25 @@ class InferenceConfig:
     detection_every: int = 5
     num_voting_frames: int = 3
 
-    # Use the fused Pallas top-k readout kernel (deva_tpu/ops/
-    # pallas_attention.py) on the single-bucket hot path instead of the XLA
-    # dense-affinity path. Bit-identical results; measured ~even on the
-    # current tunneled chip (both dispatch-bound), so off by default.
-    use_pallas_attention: bool = False
+    # Fused Pallas attention (deva_tpu/ops/pallas_attention.py): similarity
+    # + masked EXACT top-k + softmax + readout with no dense [Q, N] affinity
+    # in HBM (SURVEY §2.7-1); parity asserted in
+    # tests/test_pallas_attention.py. Measured on the tunneled v5e at
+    # LT-saturated serving shapes (26k tokens, 1.6k queries,
+    # scripts/probe_attend.py, relay-inclusive): fused-exact 40.6 ms vs XLA
+    # exact-dense 74.1 ms (1.8x) vs XLA approx-dense 38.3 ms. 'auto'
+    # therefore uses the fused kernel whenever EXACT top-k semantics run on
+    # TPU; the throughput default (topk_method auto -> approx on TPU) keeps
+    # the threshold-dense XLA path, which is still marginally fastest.
+    use_pallas_attention: object = "auto"
+
+    def resolve_use_pallas(self) -> bool:
+        if self.use_pallas_attention == "auto":
+            import jax
+            from deva_tpu.ops.memory_attention import resolve_topk_method
+            return (jax.default_backend() == "tpu"
+                    and resolve_topk_method(self.topk_method) == "exact")
+        return bool(self.use_pallas_attention)
 
     # top-k selection for the memory readout: 'exact' (sort-based, bit-parity
     # with the reference), 'approx' (lax.approx_max_k threshold — the TPU's

@@ -41,16 +41,20 @@ def get_similarity(mk: jnp.ndarray,
     ck = mk.shape[-1]
     mk = mk.astype(jnp.float32)
     qk = qk.astype(jnp.float32)
+    # true f32 matmuls (TPU f32 dots otherwise decompose into fewer bf16
+    # passes at DEFAULT precision): similarity ranking feeds a top-k, where
+    # precision loss flips near-tie selections and breaks reference parity
+    dot = lambda a, b: jax.lax.dot(a, b, precision=jax.lax.Precision.HIGHEST)
     if qe is not None:
         qe = qe.astype(jnp.float32)
         # [Q, N] = (qe @ mk^2.T); two_ab = 2 (qk*qe) @ mk.T; b_sq rowwise
-        a_sq = qe @ (mk * mk).T
-        two_ab = 2.0 * ((qk * qe) @ mk.T)
+        a_sq = dot(qe, (mk * mk).T)
+        two_ab = 2.0 * dot(qk * qe, mk.T)
         b_sq = jnp.sum(qe * qk * qk, axis=-1, keepdims=True)
         sim = -a_sq + two_ab - b_sq
     else:
         a_sq = jnp.sum(mk * mk, axis=-1)[None, :]
-        two_ab = 2.0 * (qk @ mk.T)
+        two_ab = 2.0 * dot(qk, mk.T)
         sim = -a_sq + two_ab
 
     if ms is not None:
