@@ -114,7 +114,7 @@ class InferenceCore:
 
         from deva_tpu.inference.fused_step import FusedStepper
         self._fused = FusedStepper(model, config.top_k,
-                                   use_pallas=config.use_pallas_attention,
+                                   use_pallas=config.resolve_use_pallas(),
                                    topk_method=config.topk_method)
 
     # -- object-slot management -------------------------------------------
@@ -324,15 +324,15 @@ class InferenceCore:
         return prob  # already [1 + num_obj, H, W] (sliced in the launch)
 
     def step_chunk(self, images, *, end: bool = False):
-        """Propagate several maskless frames in ONE compiled launch
-        (lax.scan over the fused step). Semantically identical to calling
-        step() per frame; falls back to that when the fast path is not
-        eligible (multi-bucket, pending consolidation mid-chunk, end-of-video
-        sensory freeze on the last frame).
-
-        Note: on remote-dispatch setups XLA copies the large ring carries
-        every scan iteration, which can outweigh the saved launches; prefer
-        per-frame step() unless launch overhead measurably dominates.
+        """Propagate several maskless frames in ONE compiled launch per
+        memory period: the chunk is decomposed into blocks of read-only
+        frames plus one trailing memory-write frame, each block a single
+        launch of the fused block body (lax.scan whose rings are
+        loop-invariant — the carry is only sensory/last_mask, so there are
+        no ring copies). Semantically identical to calling step() per frame;
+        falls back to that when the fast path is not eligible (multi-bucket,
+        pending consolidation mid-chunk, end-of-video sensory freeze on the
+        last frame).
 
         images: list/array of [H, W, 3] frames.
         Returns a list of per-frame probabilities [1 + num_obj, H, W].

@@ -17,8 +17,7 @@ tests exercise both. Static variants are cached per
 """
 from __future__ import annotations
 
-import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -168,40 +167,6 @@ class FusedStepper:
         return jax.jit(fn, static_argnums=(2, 3),
                        donate_argnums=donate)
 
-    def _build_unrolled(self, writes: tuple, use_lt: bool, work_usage: bool,
-                        count_lt_usage: bool):
-        """K frames composed into one XLA program by python-unrolling the raw
-        step body (no scan carry copies, no cond: the write schedule is
-        static). All frames update sensory (end frames are excluded by the
-        caller)."""
-        bodies = [self._raw_step(bool(w), True, use_lt, work_usage,
-                                 count_lt_usage) for w in writes]
-
-        def fn(variables, frames, pads, num_obj,
-               key_ring, shr_ring, sel_ring, value_ring, use_cnt, life_cnt,
-               size, lt_key, lt_shr, lt_value, lt_use, lt_life, lt_size,
-               sensory, last_mask):
-            lw, uw, lh, uh = pads
-            h, w = frames.shape[1:3]
-            hw = ((h + lh + uh) // 16) * ((w + lw + uw) // 16)
-            probs = []
-            offset = 0
-            for i, body in enumerate(bodies):
-                (prob, sensory, last_mask, key_ring, shr_ring, sel_ring,
-                 value_ring, use_cnt, life_cnt, lt_use, lt_life) = body(
-                    variables, frames[i], pads, num_obj,
-                    key_ring, shr_ring, sel_ring, value_ring, use_cnt,
-                    life_cnt, size + offset, lt_key, lt_shr, lt_value,
-                    lt_use, lt_life, lt_size, sensory, last_mask)
-                if writes[i]:
-                    offset += hw
-                probs.append(prob)
-            return (jnp.stack(probs), sensory, last_mask, key_ring, shr_ring,
-                    sel_ring, value_ring, use_cnt, life_cnt, lt_use, lt_life)
-
-        donate = (4, 5, 6, 7, 8, 9, 17, 18) if any(writes) else (17, 18)
-        return jax.jit(fn, static_argnums=(2, 3), donate_argnums=donate)
-
     # -- multi-frame blocks ---------------------------------------------------
 
     def _build_block(self, n_read: int, write_last: bool, use_lt: bool,
@@ -314,226 +279,36 @@ class FusedStepper:
             lt.use_cnt, lt.life_cnt = lt_use, lt_life
         return probs, new_sensory, new_last_mask
 
-    # -- multi-frame chunks ---------------------------------------------------
-
-    def _build_chunk(self, use_lt: bool, work_usage: bool,
-                     count_lt_usage: bool):
-        """A lax.scan over frames inside ONE compiled program: each step is
-        the fused propagate body, with the memory write selected per frame by
-        a traced flag (lax.cond). Amortizes per-launch dispatch overhead
-        across the chunk — the single biggest throughput lever on remote-
-        dispatch TPU setups, and a net win on-device too."""
-        model = self.model
-        top_k = self.top_k
-        topk_method = self.topk_method
-
-        def step_body(variables, pads, num_obj, carry, frame, write):
-            (key_ring, shr_ring, sel_ring, value_ring, use_cnt, life_cnt,
-             size, lt_key, lt_shr, lt_value, lt_use, lt_life, lt_size,
-             sensory, last_mask) = carry
-            lw, uw, lh, uh = pads
-            padded = jnp.pad(frame, ((lh, uh), (lw, uw), (0, 0)))[None]
-            ms, key_feat = model.apply(variables, padded,
-                                       method=DEVANetwork.encode_image)
-            key, shrinkage, selection = model.apply(
-                variables, key_feat, method=DEVANetwork.transform_key)
-            b, hq, wq, ck = key.shape
-            qk = key[0].reshape(hq * wq, ck)
-            qe = selection[0].reshape(hq * wq, ck)
-
-            cap = key_ring.shape[0]
-            if use_lt:
-                lcap = lt_key.shape[0]
-                valid = jnp.concatenate([jnp.arange(lcap) < lt_size,
-                                         jnp.arange(cap) < size])
-                sim = ma.get_similarity(
-                    jnp.concatenate([lt_key, key_ring], 0),
-                    jnp.concatenate([lt_shr, shr_ring], 0), qk, qe)
-                aff, usage = ma.topk_softmax(sim, top_k, valid,
-                                             return_usage=True,
-                                             method=topk_method)
-                rd = _readout_token_major(
-                    aff, jnp.concatenate([lt_value, value_ring], 0))
-                lt_usage, work_usage_arr = usage[:lcap], usage[lcap:]
-            else:
-                valid = jnp.arange(cap) < size
-                sim = ma.get_similarity(key_ring, shr_ring, qk, qe)
-                if work_usage:
-                    aff, work_usage_arr = ma.topk_softmax(
-                        sim, top_k, valid, return_usage=True,
-                        method=topk_method)
-                else:
-                    aff = ma.topk_softmax(sim, top_k, valid,
-                                          method=topk_method)
-                rd = _readout_token_major(aff, value_ring)
-
-            if work_usage:
-                valid_w = jnp.arange(cap) < size
-                use_cnt = use_cnt + jnp.where(valid_w, work_usage_arr, 0.0)
-                life_cnt = life_cnt + jnp.where(valid_w, 1.0, 0.0)
-            if use_lt and count_lt_usage:
-                valid_l = jnp.arange(lt_key.shape[0]) < lt_size
-                lt_use = lt_use + jnp.where(valid_l, lt_usage, 0.0)
-                lt_life = lt_life + jnp.where(valid_l, 1.0, 0.0)
-
-            o_cap = sensory.shape[0]
-            readout = rd.reshape(1, o_cap, hq, wq, -1)
-            selector = (jnp.arange(o_cap) < num_obj).astype(jnp.float32)[None]
-            new_sensory, _, prob = model.apply(
-                variables, ms, readout, sensory[None], last_mask[None],
-                selector=selector, update_sensory=True,
-                method=DEVANetwork.segment)
-            new_sensory = new_sensory[0]
-            new_last_mask = prob[0, 1:]
-
-            def do_write(args):
-                (key_ring, shr_ring, sel_ring, value_ring, use_cnt, life_cnt,
-                 size, sensory_in) = args
-                value, deep_sensory = model.apply(
-                    variables, padded, ms[0], sensory_in[None],
-                    new_last_mask[None], deep_update=True,
-                    method=DEVANetwork.encode_mask)
-                vals = value[0].reshape(o_cap, hq * wq, -1).transpose(1, 0, 2)
-                key_ring = jax.lax.dynamic_update_slice(
-                    key_ring, qk.astype(key_ring.dtype), (size, 0))
-                shr_ring = jax.lax.dynamic_update_slice(
-                    shr_ring, shrinkage[0].reshape(hq * wq).astype(
-                        shr_ring.dtype), (size,))
-                if sel_ring is not None:
-                    sel_ring2 = jax.lax.dynamic_update_slice(
-                        sel_ring, qe.astype(sel_ring.dtype), (size, 0))
-                else:
-                    sel_ring2 = sel_ring
-                value_ring = jax.lax.dynamic_update_slice(
-                    value_ring, vals.astype(value_ring.dtype), (size, 0, 0))
-                if use_cnt is not None:
-                    zeros = jnp.zeros((hq * wq,), use_cnt.dtype)
-                    use_cnt = jax.lax.dynamic_update_slice(use_cnt, zeros,
-                                                           (size,))
-                    life_cnt = jax.lax.dynamic_update_slice(
-                        life_cnt, zeros + 1e-7, (size,))
-                return (key_ring, shr_ring, sel_ring2, value_ring, use_cnt,
-                        life_cnt, size + hq * wq, deep_sensory[0])
-
-            def no_write(args):
-                (key_ring, shr_ring, sel_ring, value_ring, use_cnt, life_cnt,
-                 size, sensory_in) = args
-                return (key_ring, shr_ring, sel_ring, value_ring, use_cnt,
-                        life_cnt, size, sensory_in)
-
-            (key_ring, shr_ring, sel_ring, value_ring, use_cnt, life_cnt,
-             size, new_sensory) = jax.lax.cond(
-                write, do_write, no_write,
-                (key_ring, shr_ring, sel_ring, value_ring, use_cnt, life_cnt,
-                 size, new_sensory))
-
-            h_img, w_img = frame.shape[:2]
-            prob_out = prob[0, :, lh:lh + h_img, lw:lw + w_img]
-            new_carry = (key_ring, shr_ring, sel_ring, value_ring, use_cnt,
-                         life_cnt, size, lt_key, lt_shr, lt_value, lt_use,
-                         lt_life, lt_size, new_sensory, new_last_mask)
-            return new_carry, prob_out
-
-        def fn(variables, frames, writes, pads, num_obj,
-               key_ring, shr_ring, sel_ring, value_ring, use_cnt, life_cnt,
-               size, lt_key, lt_shr, lt_value, lt_use, lt_life, lt_size,
-               sensory, last_mask):
-            carry = (key_ring, shr_ring, sel_ring, value_ring, use_cnt,
-                     life_cnt, size, lt_key, lt_shr, lt_value, lt_use,
-                     lt_life, lt_size, sensory, last_mask)
-            carry, probs = jax.lax.scan(
-                lambda c, x: step_body(variables, pads, num_obj, c,
-                                       x[0], x[1]),
-                carry, (frames, writes))
-            return carry, probs
-
-        return jax.jit(fn, static_argnums=(3,),
-                       donate_argnums=(5, 6, 7, 8, 9, 10))
-
     def run_chunk(self, variables, frames, writes, num_obj, bucket, lt,
                   sensory, last_mask, *, work_usage: bool,
                   count_lt_usage: bool):
-        """frames: [K, H, W, 3] device array; writes: [K] bool. Updates
-        bucket/lt in place, returns (probs [K, 1+O_cap, H, W], sensory,
-        last_mask)."""
+        """frames: [K, H, W, 3] device array; writes: [K] bool. Decomposes
+        the chunk into memory-period blocks — a run of read-only frames plus
+        at most one trailing write frame — and runs each as ONE compiled
+        launch of the block body (run_block: lax.scan with loop-invariant
+        rings, so no ring carry copies). Updates bucket/lt in place, returns
+        (probs [K, 1 + num_obj, H, W], sensory, last_mask)."""
         import numpy as _np
-        use_lt = lt is not None and lt.size > 0
-        h, w = frames.shape[1:3]
-        pads = pad_amounts(h, w, 16)
-        writes_tuple = tuple(bool(x) for x in _np.asarray(writes))
-        if len(writes_tuple) <= 10:
-            # python-unrolled composition: no scan carry copies, static
-            # write schedule; one compile per distinct (K, pattern)
-            cache_key = ("unroll", writes_tuple, use_lt, work_usage,
-                         count_lt_usage and use_lt)
-            if cache_key not in self._cache:
-                self._cache[cache_key] = self._build_unrolled(
-                    writes_tuple, use_lt, work_usage,
-                    count_lt_usage and use_lt)
-            return self._run_unrolled(self._cache[cache_key], variables,
-                                      frames, writes_tuple, pads, num_obj,
-                                      bucket, lt, sensory, last_mask, use_lt,
-                                      work_usage, count_lt_usage)
-        cache_key = ("chunk", use_lt, work_usage,
-                     count_lt_usage and use_lt)
-        if cache_key not in self._cache:
-            self._cache[cache_key] = self._build_chunk(
-                use_lt, work_usage, count_lt_usage and use_lt)
-        fn = self._cache[cache_key]
-
-        if use_lt:
-            lt_args = (lt.key, lt.shrinkage, lt.value, lt.use_cnt,
-                       lt.life_cnt, lt.size)
-        else:
-            lt_args = (jnp.zeros((0, bucket.key.shape[1])), jnp.zeros((0,)),
-                       jnp.zeros((0, *bucket.value.shape[1:])), None, None, 0)
-
-        import numpy as np
-        writes_np = np.asarray(writes, bool)
-        carry, probs = fn(variables, frames, jnp.asarray(writes_np), pads,
-                          num_obj,
-                          bucket.key, bucket.shrinkage, bucket.selection,
-                          bucket.value, bucket.use_cnt, bucket.life_cnt,
-                          bucket.size, *lt_args, sensory, last_mask)
-        (bucket.key, bucket.shrinkage, bucket.selection, bucket.value,
-         bucket.use_cnt, bucket.life_cnt, _size, _lk, _ls, _lv, lt_use,
-         lt_life, _lsize, new_sensory, new_last_mask) = carry
-        n_writes = int(writes_np.sum())
-        hw_tokens = ((h + pads[2] + pads[3]) // 16) * \
-            ((w + pads[0] + pads[1]) // 16)
-        bucket.size += n_writes * hw_tokens
-        if use_lt and count_lt_usage:
-            lt.use_cnt, lt.life_cnt = lt_use, lt_life
-        return probs, new_sensory, new_last_mask
-
-    def _run_unrolled(self, fn, variables, frames, writes_tuple, pads,
-                      num_obj, bucket, lt, sensory, last_mask, use_lt,
-                      work_usage, count_lt_usage):
-        if use_lt:
-            lt_args = (lt.key, lt.shrinkage, lt.value, lt.use_cnt,
-                       lt.life_cnt, lt.size)
-        else:
-            lt_args = (jnp.zeros((0, bucket.key.shape[1])), jnp.zeros((0,)),
-                       jnp.zeros((0, *bucket.value.shape[1:])), None, None, 0)
-        (probs, new_sensory, new_last_mask, key_ring, shr_ring, sel_ring,
-         value_ring, use_cnt, life_cnt, lt_use, lt_life) = fn(
-            variables, frames, pads, int(num_obj),
-            bucket.key, bucket.shrinkage, bucket.selection, bucket.value,
-            bucket.use_cnt, bucket.life_cnt, bucket.size, *lt_args,
-            sensory, last_mask)
-        n_writes = sum(writes_tuple)
-        if n_writes:
-            bucket.key, bucket.shrinkage = key_ring, shr_ring
-            bucket.selection, bucket.value = sel_ring, value_ring
-            lw, uw, lh, uh = pads
-            h, w = frames.shape[1:3]
-            hw = ((h + lh + uh) // 16) * ((w + lw + uw) // 16)
-            bucket.size += n_writes * hw
-        if work_usage:
-            bucket.use_cnt, bucket.life_cnt = use_cnt, life_cnt
-        if use_lt and count_lt_usage:
-            lt.use_cnt, lt.life_cnt = lt_use, lt_life
-        return probs, new_sensory, new_last_mask
+        writes_np = _np.asarray(writes, bool)
+        k = len(writes_np)
+        assert frames.shape[0] == k
+        probs_parts = []
+        start = 0
+        while start < k:
+            later_writes = _np.nonzero(writes_np[start:])[0]
+            if len(later_writes) == 0:
+                stop, write_last = k, False
+            else:
+                stop, write_last = start + int(later_writes[0]) + 1, True
+            p, sensory, last_mask = self.run_block(
+                variables, frames[start:stop], num_obj, bucket, lt,
+                sensory, last_mask, write_last=write_last,
+                work_usage=work_usage, count_lt_usage=count_lt_usage)
+            probs_parts.append(p)
+            start = stop
+        probs = probs_parts[0] if len(probs_parts) == 1 else \
+            jnp.concatenate(probs_parts, 0)
+        return probs, sensory, last_mask
 
     def __call__(self, variables, image, num_obj, bucket, lt,
                  sensory, last_mask, *, mem_write: bool, update_sensory: bool,
