@@ -152,8 +152,57 @@ def convert_torch_statedict(sd: Dict[str, "np.ndarray"]) -> Dict:
     return {"params": params, "batch_stats": batch_stats}
 
 
-def load_torch_checkpoint(path: str) -> Dict:
+def schema_diff(variables, model_config=None):
+    """Diff a converted variable tree against the deva_tpu model's expected
+    schema (shapes via jax.eval_shape — no compute). Returns
+    (missing, extra, mismatched) flat key lists; all empty iff the
+    conversion covered 100% of the model's parameters with correct shapes.
+    The reference's state_dict() keyset is the schema of the released
+    `DEVA-propagation.pth` (reference:deva/model/network.py:165-174), so an
+    empty diff on a random-init reference proves the released file converts
+    first-try."""
+    import jax
+    import jax.numpy as jnp
+    from flax.traverse_util import flatten_dict
+
+    from deva_tpu.config import ModelConfig
+    from deva_tpu.models.network import DEVANetwork
+
+    mc = model_config or ModelConfig()
+    model = DEVANetwork(mc)
+    expect = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)),
+                           jnp.zeros((1, 1, 32, 32)),
+                           jnp.zeros((1, 1, 2, 2, mc.value_dim))))
+    exp = {"/".join(k): tuple(v.shape)
+           for k, v in flatten_dict(expect).items()}
+    got = {"/".join(k): tuple(np.shape(v))
+           for k, v in flatten_dict(variables).items()}
+    missing = sorted(set(exp) - set(got))
+    extra = sorted(set(got) - set(exp))
+    mismatched = sorted(f"{k}: expected {exp[k]}, got {got[k]}"
+                        for k in set(exp) & set(got) if exp[k] != got[k])
+    return missing, extra, mismatched
+
+
+def verify_converted(variables, model_config=None) -> None:
+    """Raise if the converted tree does not exactly match the model schema."""
+    missing, extra, mismatched = schema_diff(variables, model_config)
+    if missing or extra or mismatched:
+        raise ValueError(
+            "converted checkpoint does not match the deva_tpu schema:\n"
+            f"  missing ({len(missing)}): {missing[:10]}\n"
+            f"  extra ({len(extra)}): {extra[:10]}\n"
+            f"  shape mismatches ({len(mismatched)}): {mismatched[:10]}")
+
+
+def load_torch_checkpoint(path: str, verify: bool = True,
+                          model_config=None) -> Dict:
     """Load a torch .pth file (weights-only) and convert. Requires torch."""
     import torch
     sd = torch.load(path, map_location="cpu", weights_only=True)
-    return convert_torch_statedict(sd)
+    variables = convert_torch_statedict(sd)
+    if verify:
+        verify_converted(variables, model_config)
+    return variables
