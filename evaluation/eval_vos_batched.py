@@ -1,0 +1,255 @@
+"""Batched semi-supervised VOS evaluation: videos are grouped into lockstep
+batches and propagated B-at-a-time through one vmapped compiled launch per
+frame (deva_tpu/inference/batched.py) — the TPU-native serving configuration.
+
+The reference is strictly single-stream (reference:evaluation/eval_vos.py);
+this driver produces the same per-frame outputs (the equivalence is tested
+in tests/test_batched.py / tests/test_batched_driver.py) at a multiple of
+the aggregate throughput: at batch 1 the fused step leaves most of the MXU
+idle.
+
+Grouping: videos are lockstepped only with videos of identical padded
+resolution, the same object-count bucket, and the same long-term
+usage-counting policy; videos whose ground-truth masks appear after the
+first frame fall back to the sequential path (their mid-stream insertions
+would break lockstep). Shorter videos replay their last frame until the
+group ends; replayed outputs are discarded. `end` semantics (no memory
+write / no sensory update on the final frame) only affect state consumed by
+later frames, so discarding replayed outputs preserves exact per-frame
+parity with the sequential driver.
+
+Usage (smoke clip):
+  python evaluation/eval_vos_batched.py --dataset G --generic_path \
+      /root/reference/example/vos --output /tmp/out --model '' --batch 4
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+import time
+from argparse import ArgumentParser
+from os import path
+
+import numpy as np
+from PIL import Image
+
+sys.path.insert(0, path.dirname(path.dirname(path.abspath(__file__))))
+
+import jax
+
+from deva_tpu.data.vos_test_datasets import (DAVISTestDataset,
+                                             GeneralVOSTestDataset,
+                                             YouTubeVOSTestDataset)
+from deva_tpu.data.transforms import resize_prob_to
+from deva_tpu.inference.batched import BatchedPropagator
+from deva_tpu.inference.core import InferenceCore
+from deva_tpu.inference.eval_args import (add_common_eval_args,
+                                          get_model_and_config,
+                                          report_max_memory, start_profile,
+                                          stop_profile, video_fault_barrier)
+
+
+def save_frame(out_path, vid_name, frame, prob, object_manager, palette,
+               shape, need_resize):
+    prob = np.asarray(prob)
+    if need_resize:
+        prob = resize_prob_to(prob, tuple(shape))
+    out_mask = object_manager.tmp_cls_to_obj_cls(np.argmax(prob, axis=0))
+    this_out_path = path.join(out_path, vid_name)
+    os.makedirs(this_out_path, exist_ok=True)
+    out_img = Image.fromarray(out_mask.astype(np.uint8))
+    if palette is not None:
+        out_img.putpalette(palette)
+    out_img.save(path.join(this_out_path, frame[:-4] + ".png"))
+
+
+def run_sequential(model, variables, cfg, vid_reader, out_path,
+                   save_all=False):
+    """The reference-shaped single-stream path, for videos that cannot be
+    lockstepped (mid-stream mask insertion)."""
+    processor = InferenceCore(model, variables, cfg)
+    first_mask_loaded = False
+    n = 0
+    for ti in range(len(vid_reader)):
+        data = vid_reader[ti]
+        mask = data.get("mask")
+        if not first_mask_loaded:
+            if mask is None:
+                continue
+            first_mask_loaded = True
+        valid_labels = data.get("valid_labels")
+        if valid_labels is not None:
+            valid_labels = [int(v) for v in valid_labels]
+        prob = processor.step(data["rgb"], mask, valid_labels,
+                              end=(ti == len(vid_reader) - 1))
+        n += 1
+        info = data["info"]
+        if save_all or info["save"]:
+            save_frame(out_path, vid_reader.vid_name, info["frame"],
+                       prob, processor.object_manager,
+                       vid_reader.get_palette(), tuple(info["shape"]),
+                       info["need_resize"])
+    return n
+
+
+def run_group(model, variables, cfg, readers, out_path, save_all=False):
+    """Lockstep-propagate a group of same-shaped videos."""
+    first = [r[0] for r in readers]
+    images0 = [d["rgb"] for d in first]
+    masks0 = [np.asarray(d["mask"], np.int64) for d in first]
+    objects = [[int(v) for v in d["valid_labels"]] for d in first]
+
+    bp = BatchedPropagator(model, variables, cfg)
+    bp.initialize(images0, masks0, objects)
+
+    for vi, (r, d) in enumerate(zip(readers, first)):
+        info = d["info"]
+        if save_all or info["save"]:
+            # the first-frame output is the (hard) ground-truth mask itself
+            prob = np.zeros((len(objects[vi]) + 1,) + masks0[vi].shape,
+                            np.float32)
+            for oi, obj in enumerate(objects[vi]):
+                prob[oi + 1] = masks0[vi] == obj
+            prob[0] = 1.0 - prob[1:].sum(0)
+            save_frame(out_path, r.vid_name, info["frame"], prob,
+                       bp.cores[vi].object_manager, r.get_palette(),
+                       tuple(info["shape"]), info["need_resize"])
+
+    lengths = [len(r) for r in readers]
+    max_len = max(lengths)
+    if not bp.use_lt:
+        bp.reserve(max_len // cfg.mem_every + 2)
+    last = list(images0)
+    n = 0
+    for ti in range(1, max_len):
+        datas = [r[ti] if ti < lengths[vi] else None
+                 for vi, r in enumerate(readers)]
+        frames = []
+        for vi, d in enumerate(datas):
+            if d is not None:
+                last[vi] = d["rgb"]
+            frames.append(last[vi])
+        probs = bp.step_all(frames, end=(ti == max_len - 1))
+        for vi, d in enumerate(datas):
+            if d is None:
+                continue
+            n += 1
+            info = d["info"]
+            if save_all or info["save"]:
+                save_frame(out_path, readers[vi].vid_name, info["frame"],
+                           probs[vi][:len(objects[vi]) + 1],
+                           bp.cores[vi].object_manager,
+                           readers[vi].get_palette(), tuple(info["shape"]),
+                           info["need_resize"])
+    return n + len(readers)
+
+
+def main():
+    parser = ArgumentParser()
+    parser.add_argument("--d16_path", default="../DAVIS/2016")
+    parser.add_argument("--d17_path", default="../DAVIS/2017")
+    parser.add_argument("--y18_path", default="../YouTube2018")
+    parser.add_argument("--y19_path", default="../YouTube")
+    parser.add_argument("--generic_path", default="./example/vos")
+    parser.add_argument("--dataset", help="D16/D17/Y18/Y19/G", default="D17")
+    parser.add_argument("--split", help="val/test", default="val")
+    parser.add_argument("--use_all_masks", action="store_true")
+    parser.add_argument("--batch", type=int, default=4,
+                        help="videos per lockstep group")
+    add_common_eval_args(parser)
+    model, variables, base_cfg, args = get_model_and_config(parser)
+    args.dataset = args.dataset.upper()
+    assert args.output is not None, "--output is required"
+
+    is_youtube = args.dataset.startswith("Y")
+    out_path = path.join(args.output, "Annotations") if is_youtube \
+        else args.output
+
+    if is_youtube:
+        yv_path = args.y18_path if args.dataset == "Y18" else args.y19_path
+        split = "valid" if args.split == "val" else args.split
+        meta_dataset = YouTubeVOSTestDataset(yv_path, split=split,
+                                             size=args.size)
+    elif args.dataset == "D16":
+        meta_dataset = DAVISTestDataset(
+            args.d16_path, imset="../../2017/trainval/ImageSets/2016/val.txt",
+            size=args.size)
+    elif args.dataset == "D17":
+        meta_dataset = DAVISTestDataset(path.join(args.d17_path, "trainval"),
+                                        imset="2017/val.txt", size=args.size)
+    elif args.dataset == "G":
+        meta_dataset = GeneralVOSTestDataset(
+            args.generic_path, size=args.size,
+            use_all_masks=args.use_all_masks)
+        if not args.save_all:
+            args.save_all = True
+            print("save_all is forced to be true in generic mode.")
+    else:
+        raise NotImplementedError(args.dataset)
+
+    # pass 1: probe frame 0 of each video to build lockstep group keys
+    groups = {}
+    sequential = []
+    readers = list(meta_dataset.get_datasets())
+    for r in readers:
+        d0 = r[0]
+        mask0 = d0.get("mask")
+        if mask0 is None or (args.use_all_masks and len(r) > 1):
+            # first mask arrives later, or more masks may arrive mid-stream:
+            # lockstep cannot host mid-stream insertion
+            sequential.append(r)
+            continue
+        count_usage = (base_cfg.enable_long_term and (
+            len(r) / (base_cfg.max_mid_term_frames -
+                      base_cfg.min_mid_term_frames) *
+            base_cfg.num_prototypes) >= base_cfg.max_long_term_elements)
+        n_obj = len(d0["valid_labels"])
+        key = (tuple(np.asarray(d0["rgb"]).shape),
+               base_cfg.pad_objects(n_obj), count_usage)
+        groups.setdefault(key, []).append(r)
+
+    start_profile(args.profile)
+    total_frames = 0
+    t0 = time.perf_counter()
+    for (shape, o_bucket, count_usage), rs in sorted(groups.items(),
+                                                     key=str):
+        cfg = dataclasses.replace(base_cfg,
+                                  enable_long_term_count_usage=count_usage)
+        for i in range(0, len(rs), args.batch):
+            chunk = rs[i:i + args.batch]
+            names = [r.vid_name for r in chunk]
+            print(f"group {shape} x{o_bucket}obj: {names}")
+            with video_fault_barrier(", ".join(names), args.raise_on_error):
+                total_frames += run_group(model, variables, cfg, chunk,
+                                          out_path, args.save_all)
+    for r in sequential:
+        count_usage = (base_cfg.enable_long_term and (
+            len(r) / (base_cfg.max_mid_term_frames -
+                      base_cfg.min_mid_term_frames) *
+            base_cfg.num_prototypes) >= base_cfg.max_long_term_elements)
+        cfg = dataclasses.replace(base_cfg,
+                                  enable_long_term_count_usage=count_usage)
+        print(f"sequential (mid-stream masks): {r.vid_name}")
+        with video_fault_barrier(r.vid_name, args.raise_on_error):
+            total_frames += run_sequential(model, variables, cfg, r,
+                                           out_path, args.save_all)
+    total_time = time.perf_counter() - t0
+
+    stop_profile(args.profile)
+    print(f"Total processing time: {total_time}")
+    print(f"Total processed frames: {total_frames}")
+    if total_time > 0:
+        print(f"Aggregate FPS: {total_frames / total_time}")
+    report_max_memory()
+
+    if is_youtube:
+        import shutil
+        print("Making zip for YouTubeVOS...")
+        shutil.make_archive(path.join(args.output,
+                                      path.basename(args.output)),
+                            "zip", args.output, "Annotations")
+
+
+if __name__ == "__main__":
+    main()

@@ -127,3 +127,56 @@ def test_block_end_no_write():
     assert probs.shape[1] == 3
     assert int(bp.sizes[0]) == size0
     assert bp._last_mem_ti() == 0
+
+
+def test_batched_long_term_equals_sequential():
+    """Lockstep batched propagation WITH long-term memory — consolidation,
+    usage counting, and usage-based eviction (batched.py v2) — must match
+    sequential single-video propagation."""
+    model = DEVANetwork(ModelConfig())
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)),
+                           jnp.zeros((1, 1, 32, 32)),
+                           jnp.zeros((1, 1, 2, 2, 512)))
+    # hw = 4*6 = 24 tokens/frame; max_work 96 -> consolidation every 2
+    # writes after warmup; max_lt 24 with P=8 -> eviction engages too
+    cfg = InferenceConfig(mem_every=1, top_k=8, enable_long_term=True,
+                          enable_long_term_count_usage=True,
+                          max_mid_term_frames=4, min_mid_term_frames=2,
+                          num_prototypes=8, max_long_term_elements=24,
+                          topk_method="exact")
+
+    t = 12
+    rng = np.random.default_rng(9)
+    vids = [_video(rng, t, 1), _video(rng, t, 2)]
+    objects = [[1], [1, 2]]
+
+    seq_probs, seq_cores = [], []
+    for (frames, mask0), objs in zip(vids, objects):
+        core = InferenceCore(model, variables, cfg)
+        core.step(frames[0], mask0, objects=objs)
+        seq_probs.append([np.asarray(core.step(f)) for f in frames[1:]])
+        seq_cores.append(core)
+
+    bp = BatchedPropagator(model, variables, cfg)
+    bp.initialize([v[0][0] for v in vids], [v[1] for v in vids], objects)
+    for ti in range(1, t):
+        probs = bp.step_all([v[0][ti] for v in vids])
+        for vi, objs in enumerate(objects):
+            got = np.asarray(probs[vi][:len(objs) + 1])
+            want = seq_probs[vi][ti - 1]
+            bad = (np.abs(got - want) > 5e-3).any(axis=0)
+            assert bad.mean() <= 0.02, \
+                f"video {vi} frame {ti}: {bad.mean():.2%} pixels differ"
+            diff = got.argmax(0) != want.argmax(0)
+            assert diff.mean() <= 0.02, \
+                f"video {vi} frame {ti}: argmax {diff.mean():.2%}"
+
+    # ring bookkeeping must agree exactly with the sequential engine
+    for vi, core in enumerate(seq_cores):
+        (_, b), = core.memory.buckets.items()
+        assert int(bp.sizes[vi]) == b.size, (vi, bp.sizes[vi], b.size)
+        lt = core.memory.long_buckets.get(0)
+        assert lt is not None and lt.size > 0, "test must engage long-term"
+        assert int(bp.lt_sizes[vi]) == lt.size, \
+            (vi, bp.lt_sizes[vi], lt.size)
