@@ -350,3 +350,91 @@ def auto_segment(cfg: Dict, generator, image_np: np.ndarray,
                     ObjectInfo(id=curr_id, score=float(predicted_iou[k])))
                 curr_id += 1
     return output_mask, segments_info
+
+
+# --------------------------------------------------------------------------
+# record / replay (fixture-driven detector outputs)
+# --------------------------------------------------------------------------
+
+def _image_key(image_np: np.ndarray) -> str:
+    import hashlib
+    a = np.ascontiguousarray(image_np)
+    return hashlib.sha1(a.tobytes() + str(a.shape).encode()).hexdigest()
+
+
+class RecordingDetector:
+    """Wraps a real TextPromptDetector and records every (detect,
+    masks_for_boxes) result keyed by image content, so runs with real
+    GDINO/SAM weights can be captured once and replayed in environments
+    without them (this image has no downloadable checkpoints). Save with
+    `.save(path)`; replay with ReplayDetector(path)."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.records: Dict[str, Dict] = {}
+
+    def detect(self, image_np, prompts, box_threshold, text_threshold):
+        boxes, scores, class_ids = self.inner.detect(
+            image_np, prompts, box_threshold, text_threshold)
+        self.records[_image_key(image_np)] = {
+            "boxes": boxes, "scores": scores, "class_ids": class_ids}
+        return boxes, scores, class_ids
+
+    def masks_for_boxes(self, image_np, boxes):
+        masks = self.inner.masks_for_boxes(image_np, boxes)
+        self.records[_image_key(image_np)]["masks"] = masks
+        return masks
+
+    def save(self, out_path: str) -> None:
+        flat = {}
+        for key, rec in self.records.items():
+            for name, arr in rec.items():
+                if name == "masks":
+                    arr = np.packbits(np.asarray(arr, bool), axis=None)
+                    flat[f"{key}/masks_shape"] = np.asarray(
+                        rec["masks"].shape)
+                flat[f"{key}/{name}"] = np.asarray(arr)
+        np.savez_compressed(out_path, **flat)
+
+
+class ReplayDetector:
+    """Replays recorded detector outputs (RecordingDetector.save format or
+    scripts/make_detector_fixture.py). Keyed by image content hash, so the
+    frame order / detection cadence need not match the recording run."""
+
+    def __init__(self, npz_path: str):
+        self.records: Dict[str, Dict] = {}
+        with np.load(npz_path) as data:
+            for k in data.files:
+                key, name = k.split("/", 1)
+                self.records.setdefault(key, {})[name] = data[k]
+
+    def _rec(self, image_np):
+        key = _image_key(image_np)
+        if key not in self.records:
+            raise KeyError(
+                f"no recorded detection for this frame (key {key[:12]}…); "
+                f"recorded keys: {[k[:12] for k in self.records]}")
+        return self.records[key]
+
+    def detect(self, image_np, prompts, box_threshold, text_threshold):
+        r = self._rec(image_np)
+        return (np.asarray(r["boxes"], np.float32),
+                np.asarray(r["scores"], np.float32),
+                np.asarray(r["class_ids"], np.int64))
+
+    def masks_for_boxes(self, image_np, boxes):
+        r = self._rec(image_np)
+        shape = tuple(int(x) for x in r["masks_shape"])
+        n = int(np.prod(shape))
+        masks = np.unpackbits(r["masks"], count=n).reshape(shape)
+        return masks.astype(bool)
+
+    # GridMaskGenerator protocol (automatic mode): replay ignores the point
+    # restriction and returns every recorded mask; auto_segment's own
+    # filtering still applies
+    def generate(self, image_np, positive_points=None):
+        r = self._rec(image_np)
+        masks = self.masks_for_boxes(image_np, None).astype(np.float32)
+        return {"masks": masks,
+                "iou_preds": np.asarray(r["scores"], np.float32)}
