@@ -110,6 +110,68 @@ def bench_blocks(model, variables, cfg, base, mask0, *, batch, k,
     return frames_per_window / _median(times)
 
 
+def bench_train(windows=3, steps_per_window=3, t=8, h=384, w=384,
+                per_device_batch=2):
+    """Train-step throughput on the available mesh (synthetic batch): the
+    full unrolled-recurrence DP step (fwd+bwd+AdamW). Reference measurement
+    analog: per-iteration time at reference:deva/model/trainer.py:173-175.
+    Default shape = stage 3 (reference:deva/utils/configuration.py:45-64)
+    scaled to per-device batch 2: 8 frames, 384^2 crops, <=3 objects.
+    Returns (samples/sec, frames/sec) aggregate across devices."""
+    import jax
+    import jax.numpy as jnp
+    from deva_tpu.config import ModelConfig, TrainConfig
+    from deva_tpu.models.network import DEVANetwork
+    from deva_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+    from deva_tpu.training.trainer import (init_train_state, make_optimizer,
+                                           make_train_step)
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev, 1)
+    model = DEVANetwork(ModelConfig(dtype="bfloat16"))
+    max_obj = 3
+    b = per_device_batch * n_dev
+    cfg = TrainConfig(num_frames=t, num_ref_frames=3, max_num_obj=max_obj)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, h, w, 3)),
+                           jnp.zeros((1, max_obj, h, w)),
+                           jnp.zeros((1, max_obj, h // 16, w // 16,
+                                      model.config.value_dim)))
+    tx = make_optimizer(cfg)
+    step = make_train_step(model, tx, cfg, mesh=mesh)
+    state = replicate(mesh, init_train_state(model, variables, tx))
+
+    rng = np.random.default_rng(0)
+    cls_gt = rng.integers(0, max_obj + 1, (b, t, h, w)).astype(np.int32)
+    batch = shard_batch(mesh, {
+        "rgb": rng.standard_normal((b, t, h, w, 3)).astype(np.float32),
+        "first_frame_gt": np.stack(
+            [(cls_gt[:, 0] == i + 1) for i in range(max_obj)],
+            1).astype(np.float32),
+        "selector": np.ones((b, max_obj), np.float32),
+        "cls_gt": cls_gt,
+    })
+
+    import jax.random as jrandom
+    state, metrics = step(state, batch, jrandom.PRNGKey(1))  # compile
+    _ = float(metrics["total_loss"])
+
+    def window():
+        nonlocal state
+        t0 = time.perf_counter()
+        m = None
+        for i in range(steps_per_window):
+            state, m = step(state, batch, jrandom.PRNGKey(2 + i))
+        _ = float(m["total_loss"])
+        return time.perf_counter() - t0
+
+    secs = _median([window() for _ in range(windows)])
+    sps = steps_per_window * b / secs
+    print(f"train: {n_dev} device(s), batch {b}x{t}f@{h}p, "
+          f"{sps:.3f} samples/s ({sps * t:.2f} frames/s)", file=sys.stderr)
+    return sps, sps * t
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
@@ -122,6 +184,23 @@ def main():
     h, w = 480, 864
     batch, k = 8, 5
     single = "--single" in sys.argv
+
+    if "--train" in sys.argv:
+        t0 = time.perf_counter()
+        sps, fps = bench_train()
+        print(f"total bench time {time.perf_counter() - t0:.0f}s, "
+              f"platform={jax.devices()[0].platform}", file=sys.stderr)
+        print(json.dumps({
+            "metric": "train_step_samples_per_sec",
+            "value": round(sps, 3),
+            "unit": "samples/sec",
+            "vs_baseline": round(sps / 4.0, 3),
+            "baseline_note": ("stage-3-shaped synthetic step (8 frames, "
+                              "384p, 3 objects); baseline assumed 4 "
+                              "samples/s/A100 (reference publishes no "
+                              "training throughput)"),
+        }))
+        return
 
     dtype = "bfloat16" if "--f32" not in sys.argv else "float32"
     model = DEVANetwork(ModelConfig(dtype=dtype))
