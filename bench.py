@@ -182,7 +182,9 @@ def main():
     from deva_tpu.models.network import DEVANetwork
 
     h, w = 480, 864
-    batch, k = 8, 5
+    batch, k = 16, 5
+    if "--batch" in sys.argv:
+        batch = int(sys.argv[sys.argv.index("--batch") + 1])
     single = "--single" in sys.argv
 
     if "--train" in sys.argv:
