@@ -19,12 +19,19 @@ Measurement hygiene on the time-shared relay chip:
     mid-run growth recompiles;
   - persistent compilation cache under .jax_cache.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+The measured configuration is the PRODUCTION default: long-term memory
+enabled (ring consolidation + LT attention fire inside the measured
+windows) and the fused Pallas attention path on TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} plus
+honesty keys: single_stream_fps (the reference's own measurement shape,
+reference:evaluation/eval_vos.py:150-185), flops_per_frame (XLA
+cost_analysis of one block launch) and mfu (= flops*fps/peak).
 vs_baseline divides aggregate frames/sec/chip by an ASSUMED 30 fps
 single-stream A100 baseline (the reference repo publishes no numbers; the
 driver target is >=3x A100). The assumption is recorded in the JSON as
-baseline_fps_assumed / baseline_note. --single measures the reference's own
-single-stream shape (reference:evaluation/eval_vos.py:150-185) instead.
+baseline_fps_assumed / baseline_note. --single measures only the
+single-stream shape instead.
 """
 import json
 import sys
@@ -58,12 +65,19 @@ def bench_single(model, variables, cfg, frames, mask0, warmup, measure):
 
 def bench_blocks(model, variables, cfg, base, mask0, *, batch, k,
                  warm_launches, launches_per_window, windows):
+    """Measures the PRODUCTION serving config: long-term memory enabled
+    (InferenceConfig default), so the working ring saturates during warmup
+    and lockstep consolidation + LT attention fire inside every measured
+    window (one consolidation per 5 write launches at the default
+    T_max=10/T_min=5 — reference:deva/inference/memory_manager.py:207-276).
+    Returns (fps, flops_per_frame from XLA cost analysis)."""
     import dataclasses
     import jax
     import jax.numpy as jnp
     from deva_tpu.inference.batched import BatchedPropagator
 
-    cfg = dataclasses.replace(cfg, enable_long_term=False, mem_every=k)
+    cfg = dataclasses.replace(cfg, mem_every=k)
+    assert cfg.enable_long_term, "bench must run the production LT config"
     bp = BatchedPropagator(model, variables, cfg)
     frame0 = np.asarray(base, np.float32)
     bp.initialize([frame0] * batch, [mask0] * batch, [[1, 2, 3]] * batch)
@@ -94,6 +108,11 @@ def bench_blocks(model, variables, cfg, base, mask0, *, batch, k,
     for _ in range(warm_launches):
         p = launch()
     _ = float(p[0, 0, 0, 0, 0])
+    assert bp._lt_engaged, (
+        "warmup must saturate working memory so the measured windows run "
+        "the long-term path (raise warm_launches)")
+    flops = bp.launch_cost(blocks[0]).get("flops", 0.0)
+    flops_per_frame = flops / (batch * k) if flops else None
 
     def window():
         t0 = time.perf_counter()
@@ -106,8 +125,8 @@ def bench_blocks(model, variables, cfg, base, mask0, *, batch, k,
     times = [window() for _ in range(windows)]
     frames_per_window = launches_per_window * batch * k
     print(f"window times: {[round(t, 2) for t in times]}s "
-          f"({frames_per_window} frames each)", file=sys.stderr)
-    return frames_per_window / _median(times)
+          f"({frames_per_window} frames each, long-term ON)", file=sys.stderr)
+    return frames_per_window / _median(times), flops_per_frame
 
 
 def bench_train(windows=3, steps_per_window=3, t=8, h=384, w=384,
@@ -209,8 +228,11 @@ def main():
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
         jnp.zeros((1, 1, 32, 32)), jnp.zeros((1, 1, 2, 2, 512)))
-    cfg = InferenceConfig(ring_dtype=dtype,
-                          use_pallas_attention="--pallas" in sys.argv)
+    # 'auto' = fused Pallas attention on TPU (the production default);
+    # --no-pallas forces the XLA dense paths for A/B comparison
+    pallas = ("auto" if "--no-pallas" not in sys.argv else False) \
+        if "--pallas" not in sys.argv else True
+    cfg = InferenceConfig(ring_dtype=dtype, use_pallas_attention=pallas)
 
     rng = np.random.default_rng(0)
     base = rng.standard_normal((h, w, 3)).astype(np.float32)
@@ -221,26 +243,46 @@ def main():
 
     t0 = time.perf_counter()
     metric = "480p_propagation_fps_per_chip"
-    if single:
+    extra = {"long_term_memory": True}
+    flops_per_frame = None
+
+    def single_fps(warm=30, measure=30):
         frames = [jax.device_put(jnp.asarray(
             base + 0.05 * rng.standard_normal((h, w, 3)), jnp.float32))
             for _ in range(8)]
-        fps = bench_single(model, variables, cfg, frames, mask0, 30, 30)
+        return bench_single(model, variables, cfg, frames, mask0, warm,
+                            measure)
+
+    if single:
+        fps = single_fps()
         metric += "_single_stream"
     else:
         try:
-            fps = bench_blocks(model, variables, cfg, base, mask0,
-                               batch=batch, k=k, warm_launches=2,
-                               launches_per_window=3, windows=3)
+            # warmup must cross working-memory saturation (10 writes) so the
+            # measured windows include LT attention + one consolidation each
+            fps, flops_per_frame = bench_blocks(
+                model, variables, cfg, base, mask0, batch=batch, k=k,
+                warm_launches=12, launches_per_window=5, windows=3)
             metric += f"_batch{batch}x{k}frames"
+            # the reference's own measurement shape
+            # (reference:evaluation/eval_vos.py:150-185), recorded alongside
+            try:
+                extra["single_stream_fps"] = round(single_fps(20, 20), 3)
+            except Exception as e:
+                print(f"single-stream leg failed ({e!r})", file=sys.stderr)
         except Exception as e:  # never leave the driver without a number
             print(f"block bench failed ({e!r}); single-stream fallback",
                   file=sys.stderr)
-            frames = [jax.device_put(jnp.asarray(
-                base + 0.05 * rng.standard_normal((h, w, 3)), jnp.float32))
-                for _ in range(8)]
-            fps = bench_single(model, variables, cfg, frames, mask0, 30, 30)
+            fps = single_fps()
             metric += "_single_stream"
+
+    if flops_per_frame:
+        peak = _peak_flops(jax.devices()[0])
+        extra["flops_per_frame"] = round(flops_per_frame / 1e9, 2)
+        extra["flops_unit"] = "GFLOP (XLA cost_analysis of one block launch)"
+        if peak:
+            extra["mfu"] = round(flops_per_frame * fps / peak, 4)
+            extra["peak_flops_assumed"] = peak
     print(f"total bench time {time.perf_counter() - t0:.0f}s, "
           f"platform={jax.devices()[0].platform}", file=sys.stderr)
 
@@ -252,8 +294,25 @@ def main():
         "baseline_fps_assumed": 30.0,
         "baseline_note": ("single-stream A100 480p propagation assumed at "
                           "30 fps (reference publishes no numbers); value "
-                          "is aggregate multi-video throughput per chip"),
+                          "is aggregate multi-video throughput per chip "
+                          "with long-term memory enabled"),
+        **extra,
     }))
+
+
+def _peak_flops(device) -> float:
+    """Best-effort bf16 peak for the MFU denominator; 0 when unknown."""
+    kind = getattr(device, "device_kind", "").lower()
+    table = {
+        "v5 lite": 197e12, "v5litepod": 197e12, "v5e": 197e12,
+        "v6 lite": 918e12, "v6e": 918e12,
+        "v5p": 459e12, "v5": 459e12,
+        "v4": 275e12, "v3": 123e12, "v2": 45e12,
+    }
+    for key, val in table.items():
+        if key in kind:
+            return val
+    return 197e12 if device.platform == "tpu" else 0.0
 
 
 if __name__ == "__main__":

@@ -58,23 +58,18 @@ class InferenceConfig:
     num_voting_frames: int = 3
 
     # Fused Pallas attention (deva_tpu/ops/pallas_attention.py): similarity
-    # + masked EXACT top-k + softmax + readout with no dense [Q, N] affinity
-    # in HBM (SURVEY §2.7-1); parity asserted in
-    # tests/test_pallas_attention.py. Measured on the tunneled v5e at
-    # LT-saturated serving shapes (26k tokens, 1.6k queries,
-    # scripts/probe_attend.py, relay-inclusive): fused-exact 40.6 ms vs XLA
-    # exact-dense 74.1 ms (1.8x) vs XLA approx-dense 38.3 ms. 'auto'
-    # therefore uses the fused kernel whenever EXACT top-k semantics run on
-    # TPU; the throughput default (topk_method auto -> approx on TPU) keeps
-    # the threshold-dense XLA path, which is still marginally fastest.
+    # + masked top-k + softmax + readout with no dense [Q, N] affinity in
+    # HBM (SURVEY §2.7-1). 'auto' = on for TPU, for BOTH top-k methods: the
+    # resolved topk_method selects the kernel — 'exact' -> attend_pallas
+    # (reference top-k semantics), 'approx' (the TPU serving default) ->
+    # attend_pallas_approx (threshold support ⊇ exact top-k; drift bounded
+    # in tests/test_topk_drift.py). Parity in tests/test_pallas_attention.py.
     use_pallas_attention: object = "auto"
 
     def resolve_use_pallas(self) -> bool:
         if self.use_pallas_attention == "auto":
             import jax
-            from deva_tpu.ops.memory_attention import resolve_topk_method
-            return (jax.default_backend() == "tpu"
-                    and resolve_topk_method(self.topk_method) == "exact")
+            return jax.default_backend() == "tpu"
         return bool(self.use_pallas_attention)
 
     # top-k selection for the memory readout: 'exact' (sort-based, bit-parity

@@ -40,8 +40,13 @@ class JaxMobileSAM:
     def __init__(self, variables: Optional[Dict] = None, *,
                  points_per_side: int = 32, points_per_batch: int = 64,
                  pred_iou_thresh: float = 0.88, nms_iou: float = 0.7,
-                 seed: int = 0):
-        self.cfg = SamDecoderConfig()
+                 seed: int = 0, hq: bool = False):
+        """hq=True builds the Light-HQ-SAM variant: the decoder grows the HQ
+        output token + multi-scale fusion (MaskDecoderHQ, reference:deva/
+        ext/LightHQSAM/setup_light_hqsam.py:29-41) and the TinyViT encoder
+        also returns its early 160-dim features for the fusion."""
+        self.hq = hq
+        self.cfg = SamDecoderConfig(hq=hq)
         self.encoder = TinyViT()
         self.decoder = SamDecoder(self.cfg)
         self.points_per_side = points_per_side
@@ -57,15 +62,18 @@ class JaxMobileSAM:
             # trace every prompt path so all params exist (the dense
             # mask-prompt convs are only present in converted checkpoints;
             # DEVA never prompts with masks)
+            interm = (dict(intermediate_embeddings=jnp.zeros(
+                (1, 64, 64, self.cfg.vit_dim))) if hq else {})
             dec_vars = self.decoder.init(
                 k2, jnp.zeros((1, 64, 64, 256)),
                 points=jnp.zeros((1, 1, 1, 2)),
                 labels=jnp.zeros((1, 1, 1)),
-                boxes=jnp.zeros((1, 1, 4)))
+                boxes=jnp.zeros((1, 1, 4)), **interm)
             variables = {"encoder": enc_vars, "decoder": dec_vars}
         self.variables = variables
 
-        self._encode = jax.jit(self.encoder.apply)
+        self._encode = jax.jit(functools.partial(self.encoder.apply,
+                                                 return_interm=hq))
         self._dec_boxes = jax.jit(functools.partial(
             self.decoder.apply, multimask_output=True))
         self._dec_points = jax.jit(functools.partial(
@@ -87,8 +95,14 @@ class JaxMobileSAM:
         return jnp.asarray(img)[None], (nh, nw), scale
 
     def _embed(self, image_np: np.ndarray):
+        """-> (embeddings, decoder kwargs, (nh, nw), scale); in hq mode the
+        kwargs carry the TinyViT early features for the HQ fusion."""
         x, (nh, nw), scale = self._preprocess(image_np)
-        return self._encode(self.variables["encoder"], x), (nh, nw), scale
+        out = self._encode(self.variables["encoder"], x)
+        if self.hq:
+            emb, interm = out
+            return emb, dict(intermediate_embeddings=interm), (nh, nw), scale
+        return out, {}, (nh, nw), scale
 
     def _masks_to_original(self, logits: np.ndarray, nh: int, nw: int,
                            h: int, w: int) -> np.ndarray:
@@ -113,10 +127,10 @@ class JaxMobileSAM:
         h, w = image_np.shape[:2]
         if len(boxes) == 0:
             return np.zeros((0, h, w), bool)
-        emb, (nh, nw), scale = self._embed(image_np)
+        emb, dec_kw, (nh, nw), scale = self._embed(image_np)
         boxes_r = jnp.asarray(np.asarray(boxes, np.float32) * scale)[None]
         masks, ious = self._dec_boxes(self.variables["decoder"], emb,
-                                      boxes=boxes_r)
+                                      boxes=boxes_r, **dec_kw)
         masks = np.asarray(masks[0])   # [N, 3, 256, 256]
         ious = np.asarray(ious[0])     # [N, 3]
         best = ious.argmax(-1)
@@ -142,7 +156,7 @@ class JaxMobileSAM:
         if len(pts) == 0:
             return {"masks": np.zeros((0, h, w), np.float32),
                     "iou_preds": np.zeros((0,), np.float32)}
-        emb, (nh, nw), scale = self._embed(image_np)
+        emb, dec_kw, (nh, nw), scale = self._embed(image_np)
         pts_r = pts * np.array([w, h], np.float32) * scale
 
         all_masks, all_ious = [], []
@@ -151,7 +165,8 @@ class JaxMobileSAM:
             points = jnp.asarray(chunk, jnp.float32)[None, :, None, :]
             labels = jnp.ones((1, len(chunk), 1), jnp.float32)
             masks, ious = self._dec_points(self.variables["decoder"], emb,
-                                           points=points, labels=labels)
+                                           points=points, labels=labels,
+                                           **dec_kw)
             masks = np.asarray(masks[0])   # [P, 3, 256, 256]
             ious = np.asarray(ious[0])     # [P, 3]
             best = ious.argmax(-1)

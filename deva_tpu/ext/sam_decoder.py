@@ -43,6 +43,11 @@ class SamDecoderConfig:
     mask_input_channels: int = 16
     num_pos_feats: int = 128
     layer_norm_eps: float = 1e-6
+    # Light-HQ-SAM (reference:deva/ext/LightHQSAM/setup_light_hqsam.py:29-41):
+    # an extra HQ output token whose mask is predicted from the upscaled
+    # embedding refined with early (vit_dim) + final vision features.
+    hq: bool = False
+    vit_dim: int = 160
 
     @property
     def num_mask_tokens(self) -> int:
@@ -229,6 +234,47 @@ class SamDecoder(nn.Module):
         self.mask_ln2 = nn.LayerNorm(epsilon=c.layer_norm_eps,
                                      name="mask_ln2")
 
+        if c.hq:
+            ch = c.hidden_size
+            self.hq_token = _embedding("hq_token", 1, ch)
+            self.hq_mask_mlp = _FeedForward(ch, ch // 8, 3,
+                                            name="hq_mask_mlp")
+            # compress_vit: early TinyViT features [.., vit_dim] -> C/8 @ 4x
+            self.compress_vit_kernel1 = self.param(
+                "compress_vit_kernel1", nn.initializers.lecun_normal(),
+                (c.vit_dim, ch, 2, 2))
+            self.compress_vit_bias1 = self.param(
+                "compress_vit_bias1", nn.initializers.zeros, (ch,))
+            self.compress_vit_ln = nn.LayerNorm(epsilon=c.layer_norm_eps,
+                                                name="compress_vit_ln")
+            self.compress_vit_kernel2 = self.param(
+                "compress_vit_kernel2", nn.initializers.lecun_normal(),
+                (ch, ch // 8, 2, 2))
+            self.compress_vit_bias2 = self.param(
+                "compress_vit_bias2", nn.initializers.zeros, (ch // 8,))
+            # embedding encoder: final image embeddings -> C/8 @ 4x
+            self.encoder_kernel1 = self.param(
+                "encoder_kernel1", nn.initializers.lecun_normal(),
+                (ch, ch // 4, 2, 2))
+            self.encoder_bias1 = self.param(
+                "encoder_bias1", nn.initializers.zeros, (ch // 4,))
+            self.encoder_ln = nn.LayerNorm(epsilon=c.layer_norm_eps,
+                                           name="encoder_ln")
+            self.encoder_kernel2 = self.param(
+                "encoder_kernel2", nn.initializers.lecun_normal(),
+                (ch // 4, ch // 8, 2, 2))
+            self.encoder_bias2 = self.param(
+                "encoder_bias2", nn.initializers.zeros, (ch // 8,))
+            # embedding_maskfeature: refine the upscaled SAM embedding
+            self.maskfeat_conv1 = nn.Conv(ch // 4, (3, 3),
+                                          padding=[(1, 1), (1, 1)],
+                                          name="maskfeat_conv1")
+            self.maskfeat_ln = nn.LayerNorm(epsilon=c.layer_norm_eps,
+                                            name="maskfeat_ln")
+            self.maskfeat_conv2 = nn.Conv(ch // 8, (3, 3),
+                                          padding=[(1, 1), (1, 1)],
+                                          name="maskfeat_conv2")
+
     # -- positional encodings ------------------------------------------------
 
     def _pe(self, coords):
@@ -281,7 +327,8 @@ class SamDecoder(nn.Module):
     # -- the decoder ----------------------------------------------------------
 
     def __call__(self, image_embeddings, points=None, labels=None,
-                 boxes=None, mask_input=None, multimask_output=True):
+                 boxes=None, mask_input=None, multimask_output=True,
+                 intermediate_embeddings=None, hq_token_only=False):
         c = self.cfg
         b, s, _, ch = image_embeddings.shape
 
@@ -303,7 +350,9 @@ class SamDecoder(nn.Module):
 
         out_tokens = jnp.concatenate(
             [self.iou_token(jnp.zeros((1,), jnp.int32)),
-             self.mask_tokens(jnp.arange(c.num_mask_tokens))], axis=0)
+             self.mask_tokens(jnp.arange(c.num_mask_tokens))] +
+            ([_row0(self.hq_token)[None]] if c.hq else []), axis=0)
+        n_tok = c.num_mask_tokens + (1 if c.hq else 0)
         tokens = jnp.concatenate(
             [jnp.broadcast_to(out_tokens[None, None],
                               (b, p, *out_tokens.shape)), sparse], axis=2)
@@ -321,7 +370,7 @@ class SamDecoder(nn.Module):
         queries, keys = self.transformer(fold(tokens), fold(img_tokens),
                                          fold(pe_tokens))
         iou_token_out = queries[:, 0]
-        mask_tokens_out = queries[:, 1:1 + c.num_mask_tokens]
+        mask_tokens_out = queries[:, 1:1 + n_tok]
 
         up = keys.reshape(b * p, s, s, ch)
         up = _conv_transpose_2x2(up, self.upscale_kernel1, self.upscale_bias1)
@@ -331,14 +380,62 @@ class SamDecoder(nn.Module):
 
         hyper = jnp.stack(
             [self.hyper_mlps[i](mask_tokens_out[:, i])
-             for i in range(c.num_mask_tokens)], axis=1)  # [BP, M, C/8]
-        masks = jnp.einsum("bmc,bhwc->bmhw", hyper, up)
+             for i in range(c.num_mask_tokens)] +
+            ([self.hq_mask_mlp(mask_tokens_out[:, c.num_mask_tokens])]
+             if c.hq else []), axis=1)  # [BP, M(+1), C/8]
+        masks = jnp.einsum("bmc,bhwc->bmhw", hyper[:, :c.num_mask_tokens], up)
         masks = masks.reshape(b, p, c.num_mask_tokens, 4 * s, 4 * s)
         iou_pred = self.iou_head(iou_token_out).reshape(b, p,
                                                         c.num_mask_tokens)
 
-        sl = slice(1, None) if multimask_output else slice(0, 1)
-        return masks[:, :, sl], iou_pred[:, :, sl]
+        if not c.hq:
+            sl = slice(1, None) if multimask_output else slice(0, 1)
+            return masks[:, :, sl], iou_pred[:, :, sl]
+
+        # ---- HQ path: refine the upscaled embedding with multi-scale
+        # vision features and predict the HQ mask from the hq token
+        # (reference:deva/ext/LightHQSAM/setup_light_hqsam.py:29-41; math
+        # mirrors transformers.SamHQMaskDecoder, the differential oracle
+        # in tests/test_sam_decoder.py) ------------------------------------
+        hq_feat = _conv_transpose_2x2(image_embeddings, self.encoder_kernel1,
+                                      self.encoder_bias1)
+        hq_feat = jax.nn.gelu(self.encoder_ln(hq_feat), approximate=False)
+        hq_feat = _conv_transpose_2x2(hq_feat, self.encoder_kernel2,
+                                      self.encoder_bias2)  # [B, 4S, 4S, C/8]
+        if intermediate_embeddings is not None:
+            vit = _conv_transpose_2x2(intermediate_embeddings,
+                                      self.compress_vit_kernel1,
+                                      self.compress_vit_bias1)
+            vit = jax.nn.gelu(self.compress_vit_ln(vit), approximate=False)
+            vit = _conv_transpose_2x2(vit, self.compress_vit_kernel2,
+                                      self.compress_vit_bias2)
+            hq_feat = hq_feat + vit
+
+        up_hq = self.maskfeat_conv1(up)
+        up_hq = jax.nn.gelu(self.maskfeat_ln(up_hq), approximate=False)
+        up_hq = self.maskfeat_conv2(up_hq)  # [BP, 4S, 4S, C/8]
+        # hq features are per-image; repeat over the prompt axis
+        hq_feat = jnp.repeat(hq_feat, p, axis=0)
+        up_hq = up_hq + hq_feat
+
+        mask_hq = jnp.einsum("bmc,bhwc->bmhw", hyper[:, c.num_mask_tokens:],
+                             up_hq)
+        mask_hq = mask_hq.reshape(b, p, 1, 4 * s, 4 * s)
+
+        if multimask_output:
+            # the 3 multimask SAM channels, best-IoU first (like the HF
+            # SamHQ decoder; segment_with_text then takes channel 0)
+            iou_mm = iou_pred[:, :, 1:c.num_mask_tokens]
+            order = jnp.argsort(-iou_mm, axis=-1)
+            masks_sam = jnp.take_along_axis(
+                masks[:, :, 1:c.num_mask_tokens],
+                order[..., None, None], axis=2)
+            iou_out = jnp.take_along_axis(iou_mm, order, axis=-1)
+        else:
+            masks_sam = masks[:, :, 0:1]
+            iou_out = iou_pred[:, :, 0:1]
+        out = mask_hq if hq_token_only else masks_sam + mask_hq
+        return out, iou_out
 
 
 # --------------------------------------------------------------------------
@@ -431,5 +528,24 @@ def convert_sam_decoder_statedict(sd) -> dict:
         dense(("iou_head", f"layer{j}"),
               f"{md}.iou_prediction_head.layers.{j}")
         j += 1
+
+    if f"{md}.hq_token.weight" in sd:  # SamHQ checkpoints (Light-HQ-SAM)
+        embed(("hq_token",), f"{md}.hq_token")
+        dense(("hq_mask_mlp", "proj_in"), f"{md}.hq_mask_mlp.proj_in")
+        dense(("hq_mask_mlp", "layer0"), f"{md}.hq_mask_mlp.layers.0")
+        dense(("hq_mask_mlp", "proj_out"), f"{md}.hq_mask_mlp.proj_out")
+        # ConvTranspose2d weights are (in, out, kh, kw) — the layout
+        # _conv_transpose_2x2 consumes directly
+        for dst, src in [("compress_vit", "compress_vit_conv"),
+                         ("encoder", "encoder_conv")]:
+            put((f"{dst}_kernel1",), sd[f"{md}.{src}1.weight"])
+            put((f"{dst}_bias1",), sd[f"{md}.{src}1.bias"])
+            put((f"{dst}_kernel2",), sd[f"{md}.{src}2.weight"])
+            put((f"{dst}_bias2",), sd[f"{md}.{src}2.bias"])
+        ln(("compress_vit_ln",), f"{md}.compress_vit_norm")
+        ln(("encoder_ln",), f"{md}.encoder_norm")
+        conv(("maskfeat_conv1",), f"{md}.mask_conv1")
+        conv(("maskfeat_conv2",), f"{md}.mask_conv2")
+        ln(("maskfeat_ln",), f"{md}.mask_norm")
 
     return {"params": p}

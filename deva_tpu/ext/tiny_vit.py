@@ -206,7 +206,7 @@ class TinyViT(nn.Module):
     local_conv_size: int = 3
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_interm: bool = False):
         x = PatchEmbed(self.embed_dims[0], name="patch_embed")(x)
 
         # stage 0: MBConv blocks + merge
@@ -216,6 +216,7 @@ class TinyViT(nn.Module):
         x = PatchMerging(self.embed_dims[1], name="layer0_downsample")(x)
 
         # stages 1..3: transformer blocks (+ merge except after the last)
+        interm = None
         for li in range(1, len(self.depths)):
             for i in range(self.depths[li]):
                 x = TinyViTBlock(self.embed_dims[li], self.num_heads[li],
@@ -225,6 +226,11 @@ class TinyViT(nn.Module):
             if li < len(self.depths) - 1:
                 x = PatchMerging(self.embed_dims[li + 1],
                                  name=f"layer{li}_downsample")(x)
+            if li == 1:
+                # Light-HQ-SAM taps the post-stage-1 features ([B, H/16,
+                # W/16, embed_dims[2]=160], the MaskDecoderHQ vit_dim) for
+                # its multi-scale fusion (reference:tiny_vit_sam.py:607-613)
+                interm = x
 
         # SAM neck: 1x1 conv -> LN -> 3x3 conv -> LN (channelwise LN == the
         # reference's LayerNorm2d, eps 1e-6; reference:tiny_vit_sam.py:484-497,
@@ -233,7 +239,8 @@ class TinyViT(nn.Module):
         x = nn.LayerNorm(epsilon=1e-6, name="neck_ln1")(x)
         x = nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
                     name="neck_conv2")(x)
-        return nn.LayerNorm(epsilon=1e-6, name="neck_ln2")(x)
+        x = nn.LayerNorm(epsilon=1e-6, name="neck_ln2")(x)
+        return (x, interm) if return_interm else x
 
 
 def convert_tiny_vit_statedict(sd) -> dict:

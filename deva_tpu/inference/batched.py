@@ -38,13 +38,25 @@ from deva_tpu.ops.pad import pad_amounts
 
 class BatchedPropagator:
     def __init__(self, model: DEVANetwork, variables,
-                 config: InferenceConfig):
+                 config: InferenceConfig, mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'data' axis — multi-chip
+        serving shards the video axis of every stacked ring/state over it
+        (SURVEY §2.8: "per-device video sharding inside one pod slice"); the
+        per-video step body has no cross-video terms, so XLA partitions the
+        whole launch with zero collectives on the hot path. The batch must
+        divide evenly over the axis."""
         self.model = model
         self.variables = variables
         self.cfg = config
         self.use_lt = config.enable_long_term
         self.count_lt_usage = (config.enable_long_term and
                                config.enable_long_term_count_usage)
+        self.mesh = mesh
+        if mesh is not None:
+            from deva_tpu.parallel.mesh import batch_spec, replicated_spec
+            self._shard_video = batch_spec(mesh)
+            self._shard_rep = replicated_spec(mesh)
+            self.variables = jax.device_put(variables, self._shard_rep)
         self._fns: Dict = {}
 
     def initialize(self, images0: Sequence[np.ndarray],
@@ -52,6 +64,11 @@ class BatchedPropagator:
                    objects: Sequence[List[int]]):
         """Consume each video's first frame + ground-truth mask through the
         (single-video) reference path, then stack the resulting states."""
+        if self.mesh is not None:
+            nd = self.mesh.shape["data"]
+            assert len(images0) % nd == 0, (
+                f"batch {len(images0)} must divide over the {nd}-device "
+                "'data' axis (pad the video group or shrink the mesh)")
         self.cores = []
         o_cap = 0
         for img, mask, objs in zip(images0, masks0, objects):
@@ -177,8 +194,15 @@ class BatchedPropagator:
             donate += [6, 7]                    # use/life counters
             if self.count_lt_usage and lt_engaged:
                 donate += [12, 13]              # lt_use, lt_life
+        kwargs = {}
+        if self.mesh is not None:
+            # shard the video axis over 'data'; replicate the weights. All
+            # 11 outputs keep their per-video leading axis.
+            kwargs["in_shardings"] = (self._shard_video,) * 17 + (
+                self._shard_rep,)
+            kwargs["out_shardings"] = (self._shard_video,) * 11
         return jax.jit(jax.vmap(body, in_axes=axes),
-                       donate_argnums=tuple(sorted(donate)))
+                       donate_argnums=tuple(sorted(donate)), **kwargs)
 
     def _fn(self, mem_write: bool, update_sensory: bool, pads):
         lt_on = self._lt_engaged
@@ -217,13 +241,19 @@ class BatchedPropagator:
 
     def _run(self, fn, images):
         b = images.shape[0]
-        out = fn(images, self.num_obj, self.key, self.shr,
-                 self.sel if self.use_lt else jnp.zeros((b, 0)),
-                 self.value,
-                 self.use_cnt if self.use_lt else jnp.zeros((b, 0)),
-                 self.life_cnt if self.use_lt else jnp.zeros((b, 0)),
-                 jnp.asarray(self.sizes), *self._lt_args(b),
-                 self.sensory, self.last_mask, self.variables)
+        args = (images, self.num_obj, self.key, self.shr,
+                self.sel if self.use_lt else jnp.zeros((b, 0)),
+                self.value,
+                self.use_cnt if self.use_lt else jnp.zeros((b, 0)),
+                self.life_cnt if self.use_lt else jnp.zeros((b, 0)),
+                jnp.asarray(self.sizes), *self._lt_args(b),
+                self.sensory, self.last_mask)
+        if self.mesh is not None:
+            # lay the video axis out over 'data' (no-op once the state is
+            # already sharded — i.e. every launch after the first, except
+            # right after a host-side consolidation/eviction rebuild)
+            args = tuple(jax.device_put(a, self._shard_video) for a in args)
+        out = fn(*args, self.variables)
         (probs, self.sensory, self.last_mask, key, shr, sel, value,
          use_cnt, life_cnt, lt_use, lt_life) = out
         self.key, self.shr, self.value = key, shr, value
@@ -272,6 +302,15 @@ class BatchedPropagator:
         # usage-based eviction of least-used LT tokens for videos at the cap
         limit = cfg.max_long_term_elements - cfg.num_prototypes
         if (self.lt_sizes >= limit).any():
+            # without LT usage counting every token's usage is 0 and the
+            # strictly-greater threshold would silently evict the ENTIRE
+            # long-term memory; the single-video path and the reference
+            # both require counting before eviction can be meaningful
+            # (reference:deva/inference/memory_manager.py:211-216)
+            assert self.count_lt_usage, (
+                "long-term memory saturated but enable_long_term_count_usage"
+                " is False; enable it (the reference's long-video policy) so"
+                " eviction has usage statistics to rank tokens by")
             self._evict_obsolete(limit)
 
         start, end = hw, size - min_work + hw
@@ -418,3 +457,26 @@ class BatchedPropagator:
 
     def _last_mem_ti(self) -> int:
         return getattr(self, "_mem_ti", 0)
+
+    def launch_cost(self, frames) -> dict:
+        """XLA cost analysis of the block launch that `step_block(frames)`
+        would run right now (same cache key/state). Returns the compiler's
+        estimate, e.g. {'flops': ...} — the honest numerator for an MFU
+        report (VERDICT r2: 'report MFU … via cost_analysis')."""
+        frames = jnp.asarray(frames)
+        b, k, h, w = frames.shape[:4]
+        last_mem = self._last_mem_ti()
+        write_last = (self.frame_idx + k) - last_mem >= self.cfg.mem_every
+        pads = pad_amounts(h, w, 16)
+        fn = self._block_fn(k - 1 if write_last else k, write_last, pads)
+        args = (frames, self.num_obj, self.key, self.shr,
+                self.sel if self.use_lt else jnp.zeros((b, 0)),
+                self.value,
+                self.use_cnt if self.use_lt else jnp.zeros((b, 0)),
+                self.life_cnt if self.use_lt else jnp.zeros((b, 0)),
+                jnp.asarray(self.sizes), *self._lt_args(b),
+                self.sensory, self.last_mask, self.variables)
+        cost = fn.lower(*args).compile().cost_analysis()
+        if isinstance(cost, list):  # older jax returns one dict per device
+            cost = cost[0]
+        return dict(cost) if cost else {}

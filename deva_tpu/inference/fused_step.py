@@ -39,9 +39,18 @@ class FusedStepper:
 
     def _attend(self, key_ring, shr_ring, value_ring, valid, qk, qe,
                 want_usage: bool):
-        """Masked top-k attention over one ring; Pallas or XLA readout."""
+        """Masked top-k attention over one ring; Pallas or XLA readout.
+        With Pallas on, the resolved topk_method picks the kernel: 'exact'
+        -> attend_pallas (reference top-k), 'approx' (TPU serving default)
+        -> attend_pallas_approx (threshold support ⊇ exact top-k). Neither
+        materializes a dense [Q, N] affinity in HBM (SURVEY §2.7-1)."""
         if self.use_pallas:
-            from deva_tpu.ops.pallas_attention import attend_pallas
+            from deva_tpu.ops.pallas_attention import (attend_pallas,
+                                                       attend_pallas_approx)
+            if ma.resolve_topk_method(self.topk_method) == "approx":
+                return attend_pallas_approx(key_ring, shr_ring, value_ring,
+                                            qk, qe, self.top_k, valid,
+                                            return_usage=want_usage)
             return attend_pallas(key_ring, shr_ring, value_ring, qk, qe,
                                  self.top_k, valid, return_usage=want_usage)
         sim = ma.get_similarity(key_ring, shr_ring, qk, qe)
@@ -82,14 +91,27 @@ class FusedStepper:
             cap = key_ring.shape[0]
             if use_lt:
                 lcap = lt_key.shape[0]
-                valid = jnp.concatenate([jnp.arange(lcap) < lt_size,
-                                         jnp.arange(cap) < size])
-                rd, usage = self._attend(
-                    jnp.concatenate([lt_key, key_ring], 0),
-                    jnp.concatenate([lt_shr, shr_ring], 0),
-                    jnp.concatenate([lt_value, value_ring], 0),
-                    valid, qk, qe, want_usage=True)
-                lt_usage, work_usage_arr = usage[:lcap], usage[lcap:]
+                lt_valid = jnp.arange(lcap) < lt_size
+                work_valid = jnp.arange(cap) < size
+                if self.use_pallas and \
+                        ma.resolve_topk_method(self.topk_method) == "approx":
+                    # multi-ring fused kernel: the [N_lt + N_work] value
+                    # concat never materializes in HBM
+                    from deva_tpu.ops.pallas_attention import \
+                        attend_pallas_approx_multi
+                    rd, (lt_usage, work_usage_arr) = \
+                        attend_pallas_approx_multi(
+                            [(lt_key, lt_shr, lt_value, lt_valid),
+                             (key_ring, shr_ring, value_ring, work_valid)],
+                            qk, qe, self.top_k, return_usage=True)
+                else:
+                    valid = jnp.concatenate([lt_valid, work_valid])
+                    rd, usage = self._attend(
+                        jnp.concatenate([lt_key, key_ring], 0),
+                        jnp.concatenate([lt_shr, shr_ring], 0),
+                        jnp.concatenate([lt_value, value_ring], 0),
+                        valid, qk, qe, want_usage=True)
+                    lt_usage, work_usage_arr = usage[:lcap], usage[lcap:]
             else:
                 valid = jnp.arange(cap) < size
                 if work_usage:

@@ -154,11 +154,14 @@ def full_softmax(sim: jnp.ndarray,
 def readout(affinity: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarray:
     """Weighted readout of memory values.
 
-    affinity: [Q, N]; values: [..., N, Cv] -> out [..., Q, Cv].
+    affinity: [Q, N]; values: [..., N, Cv] -> out [..., Q, Cv] (f32).
     reference:deva/model/memory_utils.py:87-94 (transposed layout).
+    bf16 value rings run the matmul in bf16 (full-rate MXU, f32 accumulate)
+    — the affinity is cast DOWN rather than the values up, matching
+    memory.py:_readout_token_major; f32 rings stay f32 exactly.
     """
-    return jnp.einsum("qn,...nc->...qc", affinity, values.astype(affinity.dtype),
-                      preferred_element_type=jnp.float32)
+    return jnp.einsum("qn,...nc->...qc", affinity.astype(values.dtype),
+                      values, preferred_element_type=jnp.float32)
 
 
 def attend(mk: jnp.ndarray,

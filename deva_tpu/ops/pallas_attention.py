@@ -1,33 +1,57 @@
 """Pallas TPU kernels: fully-fused memory attention — similarity, masked
-top-k, softmax, and readout — without a dense [Q, N] affinity in HBM.
+top-k (exact or threshold-approx), softmax, and readout — without a dense
+[Q, N] affinity in HBM.
 
 Behavioral anchor: reference:deva/model/memory_utils.py:27-94 (similarity ->
 top-k softmax -> readout), SURVEY §2.7-1 ("fuse as one Pallas kernel ...
 never materializing the dense N_mem x HW affinity in HBM").
 
-Two kernels, glued by tiny [Q, K]-shaped XLA ops:
+Two fused paths share one in-VMEM similarity tile builder (`_sim_tile`):
 
+EXACT (`attend_pallas`) — reference top-k semantics:
 1. `_sim_topk_kernel` (grid q_tiles x n_tiles): builds each similarity tile
    in VMEM from the key rings (two MXU matmuls of the expanded anisotropic
    L2 form), masks invalid ring slots, and reduces the tile to its EXACT
    top-k (k-step iterative max on the VPU). Only [Q, n_tiles, K] candidates
    reach HBM — ~60x smaller than the dense [Q, N] similarity the XLA path
    writes, reads back for top-k, and reads again for the readout.
-
 2. The global top-k is the top-k of the per-tile candidates (any global
    top-k element is, within its own tile, larger than all but k-1 others,
    so it appears among that tile's top-k) — an exact merge, done in XLA on
-   the small candidate tensor. Ties resolve to the lowest global index in
-   both paths, so the selected set matches jax.lax.top_k exactly.
-
+   the small candidate tensor. Given identical similarity values the merge
+   is exact (ties resolve to the lowest global index, like lax.top_k);
+   tiled MXU matmuls can round near-tie similarities 1 ulp differently from
+   the dense path, which may swap rank-adjacent selections — the tests
+   bound this to <0.1% of indices with no value impact beyond 1e-5.
 3. `_readout_kernel` (grid q_tiles x n_tiles): rebuilds each affinity tile
    on the fly in VMEM from the (indices, weights) pairs and feeds the MXU
    directly against the value ring; the usage side-output
    (reference:memory_utils.py:73-74) is an exact [Q, K] -> [N] scatter-add.
 
-The result is bit-comparable to the XLA 'exact' path (same selected set,
-same softmax, same f32 accumulation order); parity is asserted in
-tests/test_pallas_attention.py.
+APPROX (`attend_pallas_approx`) — the TPU serving default. Threshold
+semantics like memory_attention.topk_softmax(method='approx'): the support
+{sim >= t} always CONTAINS the exact top-k, and the extra entries carry
+weights no larger than the smallest exact-top-k weight. Three passes, each
+rebuilding similarity tiles in VMEM (the sim matmuls are ~10x cheaper than
+the readout matmul, so recomputing beats materializing):
+
+A. `_segmax_kernel`: fold each similarity tile to per-group maxima
+   (groups of `n_tile >> folds` lanes; a partition of the token axis), so
+   only [Q, N/group] reaches HBM. The row max of the group maxima is the
+   EXACT row max; the k-th largest group max is a LOWER bound on the exact
+   k-th similarity (each of the top-k lives in some group whose max is >=
+   it), so thresholding at it keeps a superset of the exact top-k with at
+   most ~k*group_size entries.
+B. `_denom_kernel`: rebuild sim tiles, accumulate the softmax denominator
+   sum(exp(sim - rowmax) | sim >= t) per query. No value traffic.
+C. `_thresh_readout_kernel`: rebuild sim tiles once more, form the
+   normalized affinity tile in VMEM, and run the MXU readout against the
+   value ring (in the ring dtype — bf16 rings feed the MXU natively);
+   per-token usage comes out as per-q-tile column-sum partials.
+
+Parity is asserted in tests/test_pallas_attention.py; drift of the approx
+path against the exact reference semantics is bounded in
+tests/test_topk_drift.py.
 """
 from __future__ import annotations
 
@@ -45,32 +69,119 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# Similarity precision for the APPROX passes (Mosaic lowers only DEFAULT /
+# HIGHEST): DEFAULT skips the 6-pass HIGHEST f32 emulation the EXACT path
+# needs for bitwise XLA parity; the threshold semantics tolerate the extra
+# rounding, and the measured on-chip drift vs exact is asserted by
+# scripts/probe_attend.py and bounded in tests/test_topk_drift.py.
+_APPROX_PRECISION = jax.lax.Precision.DEFAULT
+
+
 # --------------------------------------------------------------------------
-# kernel 1: similarity tiles + per-tile exact top-k
+# shared: one similarity tile in VMEM
 # --------------------------------------------------------------------------
 
-def _sim_topk_kernel(qe_ref, qkqe_ref, bsq_ref, mk_ref, msv_ref, vmask_ref,
-                     vals_ref, idx_ref, *, k: int, n_tile: int):
-    """qe/qkqe: [Q_T, Ck]; bsq: [Q_T, 1]; mk: [N_T, Ck]; msv/vmask: [1, N_T]
-    (shrinkage/sqrt(Ck) and validity); vals/idx out: [1, Q_T, K] (candidate
-    arrays are tile-major [T, Q, K] so the block's trailing dims satisfy the
-    Mosaic (8, 128)-divisible-or-full constraint).
+def _sim_tile(qe_ref, qkqe_ref, bsq_ref, mk_ref, msq_ref, msv_ref, vmask_ref,
+              *, has_qe: bool,
+              precision=jax.lax.Precision.HIGHEST):
+    """sim = (2*(qk*qe)@mk^T - a_sq - sum(qe*qk^2)) * ms/sqrt(Ck), masked to
+    -inf on invalid ring slots (reference:deva/model/memory_utils.py:27-45,
+    tokens-major). a_sq is qe@(mk*mk)^T when selection is present; with
+    qe=None it is the HOST-precomputed sum(mk*mk) row (msq_ref), the same
+    reduction the XLA path uses — a ones-vector matmul would accumulate in a
+    different order and flip near-tie rankings.
 
-    sim = (2*(qk*qe)@mk^T - qe@(mk*mk)^T - sum(qe*qk^2)) * ms/sqrt(Ck)
-    (reference:deva/model/memory_utils.py:27-45, tokens-major)."""
+    precision: the EXACT path uses HIGHEST so the f32 similarity matches the
+    XLA path bitwise (lower precisions decompose f32 into fewer bf16 MXU
+    passes, which flips near-tie top-k selections vs the reference). The
+    APPROX path uses _APPROX_PRECISION (DEFAULT) — its threshold semantics
+    tolerate the rounding, and the HIGHEST emulation costs ~2x MXU time
+    across the three sim rebuilds. All approx passes share one precision so
+    the threshold from pass A is consistent with passes B/C."""
     mk = mk_ref[:].astype(jnp.float32)
-    # HIGHEST precision to match the XLA path's f32 similarity exactly
-    # (DEFAULT decomposes f32 into fewer bf16 MXU passes, which flips
-    # near-tie top-k selections vs the reference)
-    a_sq = jnp.dot(qe_ref[:], (mk * mk).T,
-                   preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
     two_ab = 2.0 * jnp.dot(qkqe_ref[:], mk.T,
                            preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
+                           precision=precision)
+    if has_qe:
+        a_sq = jnp.dot(qe_ref[:], (mk * mk).T,
+                       preferred_element_type=jnp.float32,
+                       precision=precision)
+    else:
+        a_sq = msq_ref[:]  # [1, N_T], broadcasts over the query rows
     sim = (two_ab - a_sq - bsq_ref[:]) * msv_ref[:]
-    sim = jnp.where(vmask_ref[:] > 0, sim, -jnp.inf)
+    return jnp.where(vmask_ref[:] > 0, sim, -jnp.inf)
 
+
+def _prep_inputs(qk, qe, mk, ms, valid, q_tile, n_tile):
+    """Common padding/precompute for all kernels. Returns the padded operand
+    tuple + geometry. All padded queries/tokens are inert (vmask 0)."""
+    q, ck = qk.shape
+    n = mk.shape[0]
+    n_tile = n_tile if n >= n_tile else _round_up(max(n, 128), 128)
+    q_tile = q_tile if q >= q_tile else _round_up(max(q, 8), 8)
+    qp, np_ = _round_up(q, q_tile), _round_up(n, n_tile)
+
+    qk = qk.astype(jnp.float32)
+    has_qe = qe is not None
+    qe_f = qe.astype(jnp.float32) if has_qe else jnp.ones_like(qk)
+    qkqe = qk * qe_f
+    # the qe=None reference form omits the (per-row constant) b^2 term
+    # (reference:deva/model/memory_utils.py:40-45); match its values exactly
+    bsq = jnp.sum(qe_f * qk * qk, axis=-1, keepdims=True) if has_qe \
+        else jnp.zeros((q, 1), jnp.float32)
+    # divide (not multiply-by-reciprocal): bitwise-identical to the XLA
+    # path's `sim * (ms / sqrt(ck))` so near-tie rankings match exactly
+    msv = (ms.astype(jnp.float32) / math.sqrt(ck)) if ms is not None else \
+        jnp.full((n,), 1.0 / math.sqrt(ck), jnp.float32)
+    vmask = jnp.ones((n,), jnp.float32) if valid is None else \
+        valid.astype(jnp.float32)
+    mk_f = mk.astype(jnp.float32)
+    # same reduction as memory_attention.get_similarity's qe=None branch
+    msq = jnp.sum(mk_f * mk_f, axis=-1)
+
+    ops = (jnp.pad(qe_f, ((0, qp - q), (0, 0))),
+           jnp.pad(qkqe, ((0, qp - q), (0, 0))),
+           jnp.pad(bsq, ((0, qp - q), (0, 0))),
+           jnp.pad(mk_f, ((0, np_ - n), (0, 0))),
+           jnp.pad(msq, (0, np_ - n))[None],
+           jnp.pad(msv, (0, np_ - n))[None],
+           jnp.pad(vmask, (0, np_ - n))[None])
+    return ops, has_qe, q_tile, n_tile, qp, np_, ck
+
+
+def _sim_specs(q_tile, n_tile, ck):
+    """BlockSpecs for the 7 `_prep_inputs` operands (every sim-building
+    kernel starts with these)."""
+    return [
+        pl.BlockSpec((q_tile, ck), lambda qi, nj: (qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((q_tile, ck), lambda qi, nj: (qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((q_tile, 1), lambda qi, nj: (qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_tile, ck), lambda qi, nj: (nj, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_tile), lambda qi, nj: (0, nj),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_tile), lambda qi, nj: (0, nj),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_tile), lambda qi, nj: (0, nj),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+# --------------------------------------------------------------------------
+# EXACT path, kernel 1: similarity tiles + per-tile exact top-k
+# --------------------------------------------------------------------------
+
+def _sim_topk_kernel(qe_ref, qkqe_ref, bsq_ref, mk_ref, msq_ref, msv_ref,
+                     vmask_ref, vals_ref, idx_ref, *, k: int, n_tile: int,
+                     has_qe: bool):
+    """vals/idx out: [1, Q_T, K] (candidate arrays are tile-major [T, Q, K]
+    so the block's trailing dims satisfy the Mosaic (8, 128)-divisible-or-
+    full constraint)."""
+    sim = _sim_tile(qe_ref, qkqe_ref, bsq_ref, mk_ref, msq_ref, msv_ref,
+                    vmask_ref, has_qe=has_qe)
     base = pl.program_id(1) * n_tile
     cols = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1)
     vals, idxs = [], []
@@ -92,53 +203,18 @@ def sim_topk(qk: jnp.ndarray, qe: Optional[jnp.ndarray], mk: jnp.ndarray,
     """Exact masked top-k of the (never-materialized) similarity matrix.
     qk/qe: [Q, Ck]; mk: [N, Ck]; ms: [N] or None; valid: [N] bool or None.
     Returns (values [Q, K] sorted desc, global indices [Q, K])."""
-    q, ck = qk.shape
-    n = mk.shape[0]
-    n_tile = n_tile if n >= n_tile else _round_up(max(n, 128), 128)
-    q_tile = q_tile if q >= q_tile else _round_up(max(q, 8), 8)
-    qp, np_ = _round_up(q, q_tile), _round_up(n, n_tile)
-
-    qk = qk.astype(jnp.float32)
-    qe_f = qe.astype(jnp.float32) if qe is not None else jnp.ones_like(qk)
-    qkqe = qk * qe_f
-    # the qe=None reference form omits the (per-row constant) b^2 term
-    # (reference:deva/model/memory_utils.py:40-45); match its values exactly
-    bsq = jnp.sum(qe_f * qk * qk, axis=-1, keepdims=True) if qe is not None \
-        else jnp.zeros((q, 1), jnp.float32)
-    # divide (not multiply-by-reciprocal): bitwise-identical to the XLA
-    # path's `sim * (ms / sqrt(ck))` so near-tie rankings match exactly
-    msv = (ms.astype(jnp.float32) / math.sqrt(ck)) if ms is not None else \
-        jnp.full((n,), 1.0 / math.sqrt(ck), jnp.float32)
-    vmask = jnp.ones((n,), jnp.float32) if valid is None else \
-        valid.astype(jnp.float32)
-
-    qe_p = jnp.pad(qe_f, ((0, qp - q), (0, 0)))
-    qkqe_p = jnp.pad(qkqe, ((0, qp - q), (0, 0)))
-    bsq_p = jnp.pad(bsq, ((0, qp - q), (0, 0)))
-    mk_p = jnp.pad(mk.astype(jnp.float32), ((0, np_ - n), (0, 0)))
-    msv_p = jnp.pad(msv, (0, np_ - n))[None]
-    vmask_p = jnp.pad(vmask, (0, np_ - n))[None]
+    q = qk.shape[0]
+    ops, has_qe, q_tile, n_tile, qp, np_, ck = _prep_inputs(
+        qk, qe, mk, ms, valid, q_tile, n_tile)
 
     t = np_ // n_tile
     grid = (qp // q_tile, t)
-    kernel = functools.partial(_sim_topk_kernel, k=top_k, n_tile=n_tile)
+    kernel = functools.partial(_sim_topk_kernel, k=top_k, n_tile=n_tile,
+                               has_qe=has_qe)
     vals, idx = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((q_tile, ck), lambda qi, nj: (qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((q_tile, ck), lambda qi, nj: (qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((q_tile, 1), lambda qi, nj: (qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_tile, ck), lambda qi, nj: (nj, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_tile), lambda qi, nj: (0, nj),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_tile), lambda qi, nj: (0, nj),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=_sim_specs(q_tile, n_tile, ck),
         out_specs=[
             pl.BlockSpec((1, q_tile, top_k), lambda qi, nj: (nj, qi, 0),
                          memory_space=pltpu.VMEM),
@@ -153,7 +229,7 @@ def sim_topk(qk: jnp.ndarray, qe: Optional[jnp.ndarray], mk: jnp.ndarray,
                             qp * t * top_k * 8),
             transcendentals=0),
         interpret=interpret,
-    )(qe_p, qkqe_p, bsq_p, mk_p, msv_p, vmask_p)
+    )(*ops)
 
     # exact merge: global top-k = top-k of the per-tile top-k candidates.
     # Candidates are flattened tile-major and rank-minor, so value ties
@@ -167,7 +243,7 @@ def sim_topk(qk: jnp.ndarray, qe: Optional[jnp.ndarray], mk: jnp.ndarray,
 
 
 # --------------------------------------------------------------------------
-# kernel 2: sparse readout (affinity tiles rebuilt in VMEM)
+# EXACT path, kernel 2: sparse readout (affinity tiles rebuilt in VMEM)
 # --------------------------------------------------------------------------
 
 def _readout_kernel(idx_ref, w_ref, v_ref, out_ref, acc_ref, *, k: int,
@@ -230,7 +306,7 @@ def topk_readout(indices: jnp.ndarray, weights: jnp.ndarray,
 
 
 # --------------------------------------------------------------------------
-# the fused path
+# the fused EXACT path
 # --------------------------------------------------------------------------
 
 def attend_pallas(mk: jnp.ndarray, ms: Optional[jnp.ndarray],
@@ -275,3 +351,259 @@ def attend_pallas(mk: jnp.ndarray, ms: Optional[jnp.ndarray],
             w.reshape(-1), mode="drop")
         return out, usage
     return out
+
+
+# --------------------------------------------------------------------------
+# APPROX path, pass A: per-group similarity maxima
+# --------------------------------------------------------------------------
+
+def _segmax_kernel(qe_ref, qkqe_ref, bsq_ref, mk_ref, msq_ref, msv_ref,
+                   vmask_ref, out_ref, *, folds: int, has_qe: bool,
+                   precision):
+    """Fold the [Q_T, N_T] similarity tile in half `folds` times: out column
+    g is the max over the group {g, g+W, g+2W, ...} (W = N_T >> folds) — a
+    partition of the tile's tokens, so max over groups == exact row max."""
+    sim = _sim_tile(qe_ref, qkqe_ref, bsq_ref, mk_ref, msq_ref, msv_ref,
+                    vmask_ref, has_qe=has_qe, precision=precision)
+    for _ in range(folds):
+        half = sim.shape[1] // 2
+        sim = jnp.maximum(sim[:, :half], sim[:, half:])
+    out_ref[:] = sim
+
+
+# --------------------------------------------------------------------------
+# APPROX path, pass B: softmax denominator over the threshold support
+# --------------------------------------------------------------------------
+
+def _denom_kernel(qe_ref, qkqe_ref, bsq_ref, mk_ref, msq_ref, msv_ref,
+                  vmask_ref, rmax_ref, th_ref, den_ref, acc_ref, *,
+                  has_qe: bool, precision):
+    nj = pl.program_id(1)
+
+    @pl.when(nj == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    sim = _sim_tile(qe_ref, qkqe_ref, bsq_ref, mk_ref, msq_ref, msv_ref,
+                    vmask_ref, has_qe=has_qe, precision=precision)
+    # sim is -inf on invalid slots and rmax is clamped finite, so
+    # exp(-inf - rmax) == 0: invalid tokens never contribute
+    e = jnp.where(sim >= th_ref[:], jnp.exp(sim - rmax_ref[:]), 0.0)
+    acc_ref[:] += jnp.sum(e, axis=-1, keepdims=True)
+
+    @pl.when(nj == pl.num_programs(1) - 1)
+    def _():
+        den_ref[:] = acc_ref[:]
+
+
+# --------------------------------------------------------------------------
+# APPROX path, pass C: normalized affinity tiles -> MXU readout + usage
+# --------------------------------------------------------------------------
+
+def _thresh_readout_kernel(qe_ref, qkqe_ref, bsq_ref, mk_ref, msq_ref,
+                           msv_ref, vmask_ref, rmax_ref, th_ref, invd_ref,
+                           v_ref, out_ref, use_ref, acc_ref, *,
+                           has_qe: bool, precision):
+    nj = pl.program_id(1)
+
+    @pl.when(nj == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    sim = _sim_tile(qe_ref, qkqe_ref, bsq_ref, mk_ref, msq_ref, msv_ref,
+                    vmask_ref, has_qe=has_qe, precision=precision)
+    aff = jnp.where(sim >= th_ref[:], jnp.exp(sim - rmax_ref[:]), 0.0) \
+        * invd_ref[:]
+    # usage partial: per-q-tile column sums (summed over q-tiles in XLA) —
+    # exact affinity.sum(axis=0) given this support
+    # (reference:memory_utils.py:73-74). The out block is [1, 1, N_T] (3-D
+    # so Mosaic's last-two-dims divisibility constraint sees (1-full, N_T)).
+    use_ref[:] = jnp.sum(aff, axis=0)[None, None]
+    # readout in the ring dtype (bf16 rings feed the MXU natively at full
+    # rate; f32 accumulate)
+    acc_ref[:] += jnp.dot(aff.astype(v_ref.dtype), v_ref[:],
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(nj == pl.num_programs(1) - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+def _segmax_pass(ops, grid, q_tile, n_tile, ck, qp, np_, has_qe, interpret):
+    """Pass A: [Qp, N/group] group maxima of the similarity."""
+    seg_w = 128  # lanes per output block (Mosaic-friendly); group = N_T/128
+    folds = max((n_tile // seg_w).bit_length() - 1, 0)
+    nseg_tile = n_tile >> folds
+    nseg = grid[1] * nseg_tile
+    return pl.pallas_call(
+        functools.partial(_segmax_kernel, folds=folds, has_qe=has_qe,
+                          precision=_APPROX_PRECISION),
+        grid=grid,
+        in_specs=_sim_specs(q_tile, n_tile, ck),
+        out_specs=pl.BlockSpec((q_tile, nseg_tile), lambda qi, nj: (qi, nj),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((qp, nseg), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * qp * np_ * ck + qp * np_,
+            bytes_accessed=np_ * ck * 4 * grid[0] + qp * nseg * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(*ops)
+
+
+def _qrow_specs(q_tile, n):
+    return [pl.BlockSpec((q_tile, 1), lambda qi, nj: (qi, 0),
+                         memory_space=pltpu.VMEM)] * n
+
+
+def _denom_pass(ops, rmax, th, grid, q_tile, n_tile, ck, qp, np_, has_qe,
+                interpret):
+    """Pass B: softmax denominator over the threshold support."""
+    return pl.pallas_call(
+        functools.partial(_denom_kernel, has_qe=has_qe,
+                          precision=_APPROX_PRECISION),
+        grid=grid,
+        in_specs=_sim_specs(q_tile, n_tile, ck) + _qrow_specs(q_tile, 2),
+        out_specs=pl.BlockSpec((q_tile, 1), lambda qi, nj: (qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((qp, 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((q_tile, 1), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * qp * np_ * ck + 3 * qp * np_,
+            bytes_accessed=np_ * ck * 4 * grid[0] + qp * 8,
+            transcendentals=qp * np_),
+        interpret=interpret,
+    )(*ops, rmax, th)
+
+
+def _readout_pass(ops, rmax, th, invd, values, n, grid, q_tile, n_tile, ck,
+                  qp, np_, has_qe, interpret):
+    """Pass C: normalized affinity tiles -> MXU readout + usage partials."""
+    o, cv = values.shape[1:]
+    cp = _round_up(o * cv, 128)
+    v_p = jnp.pad(values.reshape(n, o * cv), ((0, np_ - n), (0, cp - o * cv)))
+    n_qt = qp // q_tile
+    out, use_part = pl.pallas_call(
+        functools.partial(_thresh_readout_kernel, has_qe=has_qe,
+                          precision=_APPROX_PRECISION),
+        grid=grid,
+        in_specs=_sim_specs(q_tile, n_tile, ck) + _qrow_specs(q_tile, 3) + [
+            pl.BlockSpec((n_tile, cp), lambda qi, nj: (nj, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((q_tile, cp), lambda qi, nj: (qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_tile), lambda qi, nj: (qi, 0, nj),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((qp, cp), jnp.float32),
+                   jax.ShapeDtypeStruct((n_qt, 1, np_), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((q_tile, cp), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * qp * np_ * ck + 2 * qp * np_ * cp + 3 * qp * np_,
+            bytes_accessed=(np_ * ck * 4 * grid[0] +
+                            np_ * cp * values.dtype.itemsize * n_qt +
+                            qp * cp * 4 + n_qt * np_ * 4),
+            transcendentals=qp * np_),
+        interpret=interpret,
+    )(*ops, rmax, th, invd, v_p)
+    return out[:, :o * cv], use_part
+
+
+def attend_pallas_approx_multi(rings, qk: jnp.ndarray,
+                               qe: Optional[jnp.ndarray], top_k: int,
+                               return_usage: bool = False, *,
+                               q_tile: int = 256, n_tile: int = 512,
+                               interpret: bool = False):
+    """Threshold-approx fused attention over SEVERAL memory rings at once —
+    the serving shape is [long-term ring ; working ring]
+    (reference:deva/inference/memory_manager.py:107-134 concatenates them);
+    here each ring keeps its own kernels and only the tiny per-query
+    statistics (group maxima, denominators) merge in XLA, so the
+    [N_lt + N_work, O, Cv] value concat never materializes in HBM.
+
+    rings: sequence of (mk [N,Ck], ms [N]|None, values [N,O,Cv],
+    valid [N]|None). Returns (out [O,Q,Cv], [usage_0, usage_1, ...]) with
+    one usage array per ring when return_usage."""
+    q = qk.shape[0]
+    o, cv = rings[0][2].shape[1:]
+
+    preps, segs = [], []
+    for mk, ms, values, valid in rings:
+        ops, has_qe, qt, nt, qp, np_, ck = _prep_inputs(
+            qk, qe, mk, ms, valid, q_tile, n_tile)
+        grid = (qp // qt, np_ // nt)
+        preps.append((ops, grid, qt, nt, ck, qp, np_, has_qe))
+        segs.append(_segmax_pass(ops, grid, qt, nt, ck, qp, np_, has_qe,
+                                 interpret))
+    qp = preps[0][5]
+    assert all(p[5] == qp for p in preps), "rings must share the query pad"
+
+    segmax = segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=-1)
+    # exact row max (group maxima partition the tokens); clamped finite so
+    # rows with zero valid tokens stay NaN-free like the XLA paths
+    rmax = jnp.max(segmax, axis=-1, keepdims=True)
+    rmax = jnp.where(jnp.isfinite(rmax), rmax, 0.0)
+    # threshold: the k-th largest group max — a lower bound on the exact
+    # k-th similarity, so {sim >= th} is a superset of the exact top-k.
+    # approx_max_k's k-th value is <= the true k-th group max (recall<1 only
+    # ever lowers it), which only grows the superset.
+    nseg = segmax.shape[-1]
+    kk = min(top_k, nseg)
+    if nseg >= 4 * top_k and not interpret:
+        # high recall keeps the threshold tight (each miss lowers the
+        # threshold and admits another ~group_size of small tail weights)
+        seg_vals, _ = jax.lax.approx_max_k(segmax, kk, recall_target=0.99)
+    else:
+        seg_vals, _ = jax.lax.top_k(segmax, kk)
+    th = seg_vals[:, -1:]
+
+    denom = None
+    for (ops, grid, qt, nt, ck, _qp, np_, has_qe) in preps:
+        d = _denom_pass(ops, rmax, th, grid, qt, nt, ck, qp, np_, has_qe,
+                        interpret)
+        denom = d if denom is None else denom + d
+    # padded query rows build real similarities (their qe/qk pads are zeros,
+    # not -inf), so kill them here: invd multiplies the affinity in pass C,
+    # zeroing both their readout rows (sliced off anyway) and — crucially —
+    # their contribution to the usage column sums.
+    qvalid = (jnp.arange(qp) < q)[:, None]
+    invd = jnp.where(qvalid, 1.0 / jnp.maximum(denom, 1e-30), 0.0)
+
+    out = None
+    usages = []
+    for (ops, grid, qt, nt, ck, _qp, np_, has_qe), (mk, ms, values, valid) \
+            in zip(preps, rings):
+        n = mk.shape[0]
+        part, use_part = _readout_pass(ops, rmax, th, invd, values, n, grid,
+                                       qt, nt, ck, qp, np_, has_qe,
+                                       interpret)
+        out = part if out is None else out + part
+        usages.append(jnp.sum(use_part, axis=(0, 1))[:n])
+
+    out = out[:q].reshape(q, o, cv).transpose(1, 0, 2)
+    if return_usage:
+        return out, usages
+    return out
+
+
+def attend_pallas_approx(mk: jnp.ndarray, ms: Optional[jnp.ndarray],
+                         values: jnp.ndarray, qk: jnp.ndarray,
+                         qe: Optional[jnp.ndarray], top_k: int,
+                         valid: Optional[jnp.ndarray] = None,
+                         return_usage: bool = False, *,
+                         q_tile: int = 256, n_tile: int = 512,
+                         interpret: bool = False):
+    """Fused threshold-approx attention (TPU serving default; see module
+    docstring). Same signature/layout as attend_pallas. Guarantee: the
+    support contains the exact top-k; extra entries each weigh no more than
+    the smallest exact-top-k weight. When N <= 128 the group size is 1 and
+    the result is EXACT (ties included)."""
+    res = attend_pallas_approx_multi([(mk, ms, values, valid)], qk, qe,
+                                     top_k, return_usage, q_tile=q_tile,
+                                     n_tile=n_tile, interpret=interpret)
+    if return_usage:
+        out, usages = res
+        return out, usages[0]
+    return res

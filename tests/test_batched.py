@@ -180,3 +180,89 @@ def test_batched_long_term_equals_sequential():
         assert lt is not None and lt.size > 0, "test must engage long-term"
         assert int(bp.lt_sizes[vi]) == lt.size, \
             (vi, bp.lt_sizes[vi], lt.size)
+
+
+def test_batched_mesh_equals_unsharded():
+    """Multi-chip serving (SURVEY §2.8: per-device video sharding): the
+    BatchedPropagator with a 'data'-axis mesh must produce the same outputs
+    and ring/LT state as the unsharded batched path. Long-term memory is on
+    so lockstep consolidation runs over sharded stacked rings too."""
+    from deva_tpu.parallel.mesh import make_mesh
+
+    model = DEVANetwork(ModelConfig())
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)),
+                           jnp.zeros((1, 1, 32, 32)),
+                           jnp.zeros((1, 1, 2, 2, 512)))
+    cfg = InferenceConfig(mem_every=1, top_k=8, enable_long_term=True,
+                          enable_long_term_count_usage=True,
+                          max_mid_term_frames=3, min_mid_term_frames=1,
+                          num_prototypes=8, topk_method="exact")
+
+    t = 6
+    rng = np.random.default_rng(11)
+    vids = [_video(rng, t, 1), _video(rng, t, 2),
+            _video(rng, t, 2), _video(rng, t, 1)]
+    objects = [[1], [1, 2], [1, 2], [1]]
+    first = [v[0][0] for v in vids]
+    masks = [v[1] for v in vids]
+
+    bp_ref = BatchedPropagator(model, variables, cfg)
+    bp_ref.initialize(first, masks, objects)
+
+    mesh = make_mesh(4, 1, devices=jax.devices()[:4])
+    bp_mesh = BatchedPropagator(model, variables, cfg, mesh=mesh)
+    bp_mesh.initialize(first, masks, objects)
+
+    for ti in range(1, t):
+        p_ref = np.asarray(bp_ref.step_all([v[0][ti] for v in vids]))
+        p_mesh = np.asarray(bp_mesh.step_all([v[0][ti] for v in vids]))
+        # partitioned convs (per-device batch 1) schedule differently from
+        # the batch-4 vmapped ones; with mem_every=1 the random-init
+        # recurrence amplifies that float noise after the first write —
+        # same pixel-budget comparison as test_batched_equals_sequential
+        if ti == 1:
+            np.testing.assert_allclose(p_mesh, p_ref, atol=1e-3,
+                                       err_msg=f"frame {ti}")
+        else:
+            bad = (np.abs(p_mesh - p_ref) > 5e-3).any(axis=1)
+            assert bad.mean() <= 0.02, \
+                f"frame {ti}: {bad.mean():.2%} pixels differ"
+            flips = p_mesh.argmax(1) != p_ref.argmax(1)
+            assert flips.mean() <= 0.02, \
+                f"frame {ti}: argmax {flips.mean():.2%}"
+
+    # consolidation must have fired (max_work = 3 frames of tokens); the
+    # sharded LT bookkeeping must agree exactly, ring contents to the same
+    # noise budget
+    assert (bp_ref.lt_sizes > 0).all()
+    np.testing.assert_array_equal(bp_mesh.lt_sizes, bp_ref.lt_sizes)
+    np.testing.assert_array_equal(bp_mesh.sizes, bp_ref.sizes)
+    key_diff = np.abs(np.asarray(bp_mesh.key) - np.asarray(bp_ref.key))
+    assert (key_diff > 5e-2).mean() <= 0.02, key_diff.max()
+    lt_diff = np.abs(np.asarray(bp_mesh.lt_key) - np.asarray(bp_ref.lt_key))
+    assert (lt_diff > 5e-2).mean() <= 0.02, lt_diff.max()
+
+
+def test_batched_lt_eviction_requires_usage_counting():
+    """Saturating long-term memory with enable_long_term_count_usage=False
+    must raise (every usage is 0, so the strictly-greater eviction threshold
+    would silently wipe the whole LT store) rather than corrupt state."""
+    model = DEVANetwork(ModelConfig())
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)),
+                           jnp.zeros((1, 1, 32, 32)),
+                           jnp.zeros((1, 1, 2, 2, 512)))
+    cfg = InferenceConfig(mem_every=1, top_k=8, enable_long_term=True,
+                          enable_long_term_count_usage=False,
+                          max_mid_term_frames=3, min_mid_term_frames=1,
+                          num_prototypes=8, max_long_term_elements=10,
+                          topk_method="exact")
+    t = 8
+    rng = np.random.default_rng(12)
+    frames, mask0 = _video(rng, t, 1)
+    bp = BatchedPropagator(model, variables, cfg)
+    bp.initialize([frames[0]], [mask0], [[1]])
+    with pytest.raises(AssertionError, match="count_usage"):
+        for ti in range(1, t):
+            bp.step_all([frames[ti]])

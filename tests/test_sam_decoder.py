@@ -80,3 +80,172 @@ def test_point_prompts_match(hf_and_flax):
     assert got_m.shape == want_m.shape
     np.testing.assert_allclose(np.asarray(got_m), want_m,
                                rtol=2e-3, atol=2e-3)
+
+
+# --------------------------------------------------------------------------
+# HQ decoder (Light-HQ-SAM): flax vs transformers.SamHQModel
+# --------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def hf_and_flax_hq():
+    """Random-init SamHQ with the Light-HQ-SAM vit_dim=160
+    (reference:deva/ext/LightHQSAM/setup_light_hqsam.py:29-41)."""
+    from transformers import SamHQConfig, SamHQModel
+    torch.manual_seed(1)
+    cfg = SamHQConfig()
+    cfg.vision_config.num_hidden_layers = 1
+    cfg.vision_config.hidden_size = 32
+    cfg.vision_config.num_attention_heads = 2
+    cfg.mask_decoder_config.vit_dim = 160
+    model = SamHQModel(cfg).eval()
+    variables = convert_sam_decoder_statedict(model.state_dict())
+    return model, SamDecoder(SamDecoderConfig(hq=True, vit_dim=160)), variables
+
+
+def _hq_oracle(model, emb, interm, *, boxes=None, points=None, labels=None,
+               multimask_output=True, hq_token_only=False):
+    """Torch oracle built from the HF SamHQ SUBMODULES (prompt encoder,
+    two-way transformer, upscaling convs, HQ fusion convs, hyper MLPs —
+    all HF weights/math) glued per the ORIGINAL SAM-HQ decoder flow.
+
+    transformers 4.57's SamHQMaskDecoder.forward itself deviates from the
+    original sam-hq: it unpacks the transformer's updated keys into a
+    variable it immediately overwrites (`point_embedding, iou_token_out =
+    self.transformer(...)`) and then upscales the PRE-transformer image
+    embedding spatially transposed (`image_embeddings.transpose(2, 3)`),
+    where the original uses the transformer-updated keys
+    (sam-hq MaskDecoderHQ.predict_masks: `hs, src = self.transformer(...);
+    src = src.transpose(1, 2).view(b, c, h, w)`). deva_tpu follows the
+    original (checkpoint-faithful) semantics, so the oracle does too."""
+    md = model.mask_decoder
+    with torch.no_grad():
+        if points is not None:
+            points_t = torch.from_numpy(points)
+            labels_t = torch.from_numpy(labels).long()
+        else:
+            points_t = labels_t = None
+        boxes_t = torch.from_numpy(boxes) if boxes is not None else None
+        sparse, dense = model.prompt_encoder(
+            input_points=points_t, input_labels=labels_t,
+            input_boxes=boxes_t, input_masks=None)
+        image_pe = model.get_image_wide_positional_embeddings()
+
+        emb_t = torch.from_numpy(emb)
+        vit_features = torch.from_numpy(interm).permute(0, 3, 1, 2)
+        b, ch, h, w = emb_t.shape
+        p = sparse.shape[1]
+
+        embed_encode = md.encoder_conv1(emb_t)
+        embed_encode = md.activation(md.encoder_norm(embed_encode))
+        embed_encode = md.encoder_conv2(embed_encode)
+        cvf = md.compress_vit_conv1(vit_features)
+        cvf = md.activation(md.compress_vit_norm(cvf))
+        cvf = md.compress_vit_conv2(cvf)
+        hq_features = embed_encode + cvf
+
+        output_tokens = torch.cat([md.iou_token.weight, md.mask_tokens.weight,
+                                   md.hq_token.weight], dim=0)
+        tokens = torch.cat([output_tokens.repeat(b, p, 1, 1),
+                            sparse], dim=2)
+        img = (emb_t + dense).repeat_interleave(p, 0)
+        pe = image_pe.repeat_interleave(p, 0)
+        queries, keys = md.transformer(
+            point_embeddings=tokens, image_embeddings=img,
+            image_positional_embeddings=pe, attention_similarity=None)
+        iou_token_out = queries[:, :, 0, :]
+        mask_tokens_out = queries[:, :, 1:1 + md.num_mask_tokens, :]
+
+        # original flow: upscale the UPDATED keys
+        src = keys.transpose(2, 3).reshape(b * p, ch, h, w)
+        up = md.upscale_conv1(src)
+        up = md.activation(md.upscale_layer_norm(up))
+        up = md.activation(md.upscale_conv2(up))
+        up_hq = md.mask_conv1(up)
+        up_hq = md.activation(md.mask_norm(up_hq))
+        up_hq = md.mask_conv2(up_hq) + hq_features.repeat_interleave(p, 0)
+
+        hyper = []
+        for i in range(md.num_mask_tokens):
+            mlp = md.output_hypernetworks_mlps[i] \
+                if i < md.num_mask_tokens - 1 else md.hq_mask_mlp
+            hyper.append(mlp(mask_tokens_out[:, :, i, :]))
+        hyper = torch.stack(hyper, dim=2)
+        _, c8, hh, ww = up.shape
+        up = up.reshape(b, p, c8, hh * ww)
+        up_hq = up_hq.reshape(b, p, c8, hh * ww)
+        masks_sam = (hyper[:, :, :md.num_mask_tokens - 1] @ up).reshape(
+            b, p, -1, hh, ww)
+        masks_hq = (hyper[:, :, md.num_mask_tokens - 1:] @ up_hq).reshape(
+            b, p, -1, hh, ww)
+        iou_pred = md.iou_prediction_head(iou_token_out)
+        if multimask_output:
+            iou_mm = iou_pred[:, :, 1:md.num_mask_tokens - 1]
+            iou_sorted, order = torch.sort(iou_mm, dim=2, descending=True)
+            mm = masks_sam[:, :, 1:]
+            mm = torch.gather(mm, 2, order[..., None, None].expand(
+                -1, -1, -1, mm.shape[3], mm.shape[4]))
+            iou_out = iou_sorted
+        else:
+            mm = masks_sam[:, :, 0:1]
+            iou_out = iou_pred[:, :, 0:1]
+        out = masks_hq if hq_token_only else mm + masks_hq
+        return out.numpy(), iou_out.numpy()
+
+
+@pytest.mark.parametrize("hq_token_only", [False, True])
+def test_hq_box_prompts_match(hf_and_flax_hq, hq_token_only):
+    model, dec, variables = hf_and_flax_hq
+    rng = np.random.default_rng(2)
+    emb = _embeddings(rng)
+    interm = rng.standard_normal((1, 64, 64, 160)).astype(np.float32) * 0.5
+    boxes = np.array([[[100.0, 150.0, 500.0, 600.0],
+                       [10.0, 20.0, 200.0, 300.0]]], np.float32)
+
+    want_m, want_iou = _hq_oracle(model, emb, interm, boxes=boxes,
+                                  multimask_output=True,
+                                  hq_token_only=hq_token_only)
+
+    emb_nhwc = jnp.asarray(np.moveaxis(emb, 1, -1))
+    got_m, got_iou = dec.apply(variables, emb_nhwc,
+                               boxes=jnp.asarray(boxes),
+                               intermediate_embeddings=jnp.asarray(interm),
+                               multimask_output=True,
+                               hq_token_only=hq_token_only)
+    assert got_m.shape == want_m.shape
+    np.testing.assert_allclose(np.asarray(got_m), want_m,
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_iou), want_iou,
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_hq_single_mask_output_match(hf_and_flax_hq):
+    model, dec, variables = hf_and_flax_hq
+    rng = np.random.default_rng(3)
+    emb = _embeddings(rng)
+    interm = rng.standard_normal((1, 64, 64, 160)).astype(np.float32) * 0.5
+    points = np.array([[[[320.0, 240.0]]]], np.float32)
+    labels = np.array([[[1]]], np.float32)
+
+    want_m, _ = _hq_oracle(model, emb, interm, points=points, labels=labels,
+                           multimask_output=False)
+
+    got_m, _ = dec.apply(variables, jnp.asarray(np.moveaxis(emb, 1, -1)),
+                         points=jnp.asarray(points),
+                         labels=jnp.asarray(labels),
+                         intermediate_embeddings=jnp.asarray(interm),
+                         multimask_output=False)
+    np.testing.assert_allclose(np.asarray(got_m), want_m,
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_hq_jax_mobile_sam_end_to_end():
+    """JaxMobileSAM(hq=True): TinyViT interm features flow into the HQ
+    decoder through both detector protocols (random init)."""
+    from deva_tpu.ext.jax_sam import JaxMobileSAM
+    sam = JaxMobileSAM(hq=True, points_per_side=2)
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 255, (96, 128, 3)).astype(np.uint8)
+    m = sam.masks_for_boxes(img, np.array([[10.0, 10.0, 80.0, 60.0]]))
+    assert m.shape == (1, 96, 128) and m.dtype == bool
+    out = sam.generate(img)
+    assert out["masks"].shape[1:] == (96, 128)
