@@ -48,9 +48,12 @@ def bench_single(model, variables, cfg, frames, mask0, warmup, measure):
     from deva_tpu.inference.core import InferenceCore
     core = InferenceCore(model, variables, cfg)
     prob = core.step(frames[0], mask0, objects=[1, 2, 3])
+    t0 = time.perf_counter()
     for i in range(1, warmup):
         prob = core.step(frames[i % len(frames)])
     _ = float(prob[0, 0, 0])
+    print(f"single warmup: {warmup} frames in "
+          f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     def window():
         t0 = time.perf_counter()
@@ -60,7 +63,10 @@ def bench_single(model, variables, cfg, frames, mask0, warmup, measure):
         _ = float(p[0, 0, 0])
         return time.perf_counter() - t0
 
-    return measure / _median([window() for _ in range(3)])
+    times = [window() for _ in range(3)]
+    print(f"single window times: {[round(t, 2) for t in times]}s "
+          f"({measure} frames each)", file=sys.stderr)
+    return measure / _median(times)
 
 
 def bench_blocks(model, variables, cfg, base, mask0, *, batch, k,
@@ -246,7 +252,11 @@ def main():
     extra = {"long_term_memory": True}
     flops_per_frame = None
 
-    def single_fps(warm=30, measure=30):
+    def single_fps(warm=65, measure=20):
+        # warmup must pass working-memory saturation (50 frames at
+        # mem_every=5, T_max=10) + the first consolidation, so the measured
+        # windows see the steady-state compiled shapes — ring-growth
+        # recompiles inside a window would swamp the number
         frames = [jax.device_put(jnp.asarray(
             base + 0.05 * rng.standard_normal((h, w, 3)), jnp.float32))
             for _ in range(8)]

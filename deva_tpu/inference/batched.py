@@ -122,7 +122,11 @@ class BatchedPropagator:
             self.life_cnt = jnp.stack(lifes)
             ck = self.key.shape[-1]
             cv = self.value.shape[-1]
-            lcap = _round_up(cfg.max_long_term_elements, cfg.num_prototypes)
+            # lazy LT capacity (doubled on demand in _maybe_consolidate):
+            # attention pays FLOPs over the full masked capacity, so sizing
+            # for max_long_term_elements up front costs ~10x for most of a
+            # run (same policy as MemoryEngine._compress)
+            lcap = _round_up(4 * cfg.num_prototypes, cfg.num_prototypes)
             dt = self.key.dtype
             self.lt_key = jnp.zeros((b, lcap, ck), dt)
             self.lt_shr = jnp.zeros((b, lcap), dt)
@@ -339,8 +343,22 @@ class BatchedPropagator:
         self.life_cnt = sieve(self.life_cnt)
         self.sizes = np.full_like(self.sizes, start + (size - end))
 
-        # append prototypes at each video's LT cursor
+        # append prototypes at each video's LT cursor (growing the lazy
+        # capacity when the batch max approaches it)
         p = cfg.num_prototypes
+        lcap = self.lt_key.shape[1]
+        if int(self.lt_sizes.max()) + p > lcap:
+            max_cap = _round_up(cfg.max_long_term_elements, p)
+            new_cap = min(_round_up(max(lcap * 2,
+                                        int(self.lt_sizes.max()) + p), p),
+                          max_cap)
+            grow = new_cap - lcap
+            self.lt_key = jnp.pad(self.lt_key, ((0, 0), (0, grow), (0, 0)))
+            self.lt_shr = jnp.pad(self.lt_shr, ((0, 0), (0, grow)))
+            self.lt_value = jnp.pad(self.lt_value,
+                                    ((0, 0), (0, grow), (0, 0), (0, 0)))
+            self.lt_use = jnp.pad(self.lt_use, ((0, 0), (0, grow)))
+            self.lt_life = jnp.pad(self.lt_life, ((0, 0), (0, grow)))
         offs = jnp.asarray(self.lt_sizes)
 
         def append(lt, new):

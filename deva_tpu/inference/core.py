@@ -529,6 +529,14 @@ class InferenceCore:
                 forward_mask = np.argmax(np.asarray(prob[:n + 1]), axis=0)
             else:
                 forward_mask = np.zeros_like(new_mask)
+        else:
+            # callers supply the forward prediction in UNPADDED image space
+            # (e.g. the batched driver's one-launch forward,
+            # evaluation/eval_with_detections_batched.py); align it with the
+            # padded detection mask
+            forward_mask = np.asarray(forward_mask)
+            if forward_mask.shape != new_mask.shape:
+                forward_mask = np.pad(forward_mask, ((lh, uh), (lw, uw)))
 
         merged = match_and_merge(forward_mask, new_mask, self.object_manager,
                                  segments_info,

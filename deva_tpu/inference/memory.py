@@ -386,15 +386,29 @@ class MemoryEngine:
         b.size = new_size
 
         lt = self.long_buckets.get(bid)
+        p = self.cfg.num_prototypes
         if lt is None:
-            cap = _round_up(self.cfg.max_long_term_elements,
-                            self.cfg.num_prototypes)
+            # allocate LAZILY: every frame's attention pays similarity +
+            # readout FLOPs over the full ring capacity (masked slots
+            # included), so a max_long_term_elements-sized ring from the
+            # first consolidation would waste ~10x FLOPs for most of a
+            # video's life. Start small, double as prototypes accumulate
+            # (a recompile per doubling — a handful per hour-long video).
+            cap = _round_up(4 * p, p)
             lt = LongTermBucket(b.obj_ids, b.o_cap, cap, self.ck, self.cv,
                                 save_usage=self.count_long_term_usage,
                                 dtype=self.ring_dtype)
             self.long_buckets[bid] = lt
+        if lt.size + p > lt.cap:
+            max_cap = _round_up(self.cfg.max_long_term_elements, p)
+            new_cap = min(_round_up(max(lt.cap * 2, lt.size + p), p), max_cap)
+            lt.key = _grow(lt.key, new_cap, 0)
+            lt.shrinkage = _grow(lt.shrinkage, new_cap, 0)
+            lt.value = _grow(lt.value, new_cap, 0)
+            if lt.use_cnt is not None:
+                lt.use_cnt = _grow(lt.use_cnt, new_cap, 0)
+                lt.life_cnt = _grow(lt.life_cnt, new_cap, 0)
         lt.obj_ids = list(b.obj_ids)
-        p = self.cfg.num_prototypes
         lt.key, lt.shrinkage, _, lt.use_cnt, lt.life_cnt = _append_tokens(
             lt.key, lt.shrinkage, None, lt.use_cnt, lt.life_cnt, lt.size,
             proto_key, proto_shr, None)

@@ -1,0 +1,127 @@
+"""On-chip per-component timing of the serving step at 480p: encode,
+key-projection, memory attention (serving rings), decode, mask-encode.
+Each component is timed as a lax.scan of N iterations with varying inputs
+inside ONE launch (honest device time; the relay round-trip amortizes and
+cannot dedup).
+
+  python scripts/probe_components.py
+"""
+import sys
+import time
+from os import path
+
+import numpy as np
+
+sys.path.insert(0, path.dirname(path.dirname(path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from deva_tpu.config import InferenceConfig, ModelConfig
+from deva_tpu.models.network import DEVANetwork
+
+
+def timed_scan(name, fn, carry0, n=20):
+    """fn(carry, i) -> carry; time one launch of lax.scan over n steps."""
+    @jax.jit
+    def run(c0):
+        return jax.lax.scan(lambda c, i: (fn(c, i), 0),
+                            c0, jnp.arange(n))[0]
+
+    out = run(carry0)
+    _ = float(jnp.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+    ts = []
+    for rep in range(3):
+        t0 = time.perf_counter()
+        out = run(jax.tree.map(
+            lambda x: x + jnp.asarray(rep + 1, x.dtype) * 1e-6
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, carry0))
+        _ = float(jnp.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+        ts.append((time.perf_counter() - t0) / n)
+    t = sorted(ts)[1]
+    print(f"{name:24s} {t * 1e3:8.2f} ms/frame")
+    return t
+
+
+def main():
+    h, w = 480, 864
+    o = 3
+    model = DEVANetwork(ModelConfig(dtype="bfloat16"))
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+        jnp.zeros((1, 1, 32, 32)), jnp.zeros((1, 1, 2, 2, 512)))
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((1, h, w, 3)), jnp.float32)
+    hq, wq = h // 16, w // 16
+    q = hq * wq
+    cv = model.config.value_dim
+    ck = model.config.key_dim
+
+    print(f"platform={jax.devices()[0].platform} {h}x{w} o={o}")
+
+    # encode_image + transform_key
+    def enc(c, i):
+        ms, feat = model.apply(variables, c, method=DEVANetwork.encode_image)
+        key, shr, sel = model.apply(variables, feat,
+                                    method=DEVANetwork.transform_key)
+        return c + 1e-6 * jnp.mean(key)
+
+    t_enc = timed_scan("encode+key_proj", enc, img)
+
+    # serving-shape attention (work ring saturated + small LT ring)
+    n_work, n_lt, k = 16384, 512, 30
+    dt = jnp.bfloat16
+    mk = jnp.asarray(rng.standard_normal((n_work, ck)), dt)
+    msr = jnp.asarray(rng.uniform(1, 4, (n_work,)), dt)
+    vw = jnp.asarray(rng.standard_normal((n_work, o, cv)), dt)
+    lk = jnp.asarray(rng.standard_normal((n_lt, ck)), dt)
+    ls = jnp.asarray(rng.uniform(1, 4, (n_lt,)), dt)
+    lv = jnp.asarray(rng.standard_normal((n_lt, o, cv)), dt)
+    qk0 = jnp.asarray(rng.standard_normal((q, ck)), jnp.float32)
+    qe0 = jnp.asarray(rng.uniform(0, 1, (q, ck)), jnp.float32)
+    wvalid = jnp.arange(n_work) < 16200
+    lvalid = jnp.arange(n_lt) < 384
+
+    from deva_tpu.ops.pallas_attention import attend_pallas_approx_multi
+
+    def att(c, i):
+        out, (u1, u2) = attend_pallas_approx_multi(
+            [(lk, ls, lv, lvalid), (mk, msr, vw, wvalid)], c, qe0, k,
+            return_usage=True)
+        return c + 1e-6 * jnp.mean(out).astype(c.dtype)
+
+    t_att = timed_scan("attention(lt+work)", att, qk0)
+
+    # decode (segment): readout + sensory + last_mask -> probs
+    ms_feats, feat = model.apply(variables, img,
+                                 method=DEVANetwork.encode_image)
+    readout0 = jnp.asarray(rng.standard_normal((1, o, hq, wq, cv)),
+                           jnp.float32)
+    sensory0 = jnp.zeros((1, o, hq, wq, cv), jnp.float32)
+    lm0 = jnp.asarray(rng.uniform(0, 1, (1, o, h, w)), jnp.float32)
+    selector = jnp.ones((1, o), jnp.float32)
+
+    def dec(c, i):
+        new_sensory, _, prob = model.apply(
+            variables, ms_feats, c, sensory0, lm0, selector=selector,
+            update_sensory=True, method=DEVANetwork.segment)
+        return c + 1e-6 * jnp.mean(prob)
+
+    t_dec = timed_scan("decode(segment)", dec, readout0)
+
+    # mask encode (memory write; amortized over mem_every=5)
+    def mem(c, i):
+        value, deep = model.apply(variables, c, ms_feats[0], sensory0, lm0,
+                                  deep_update=True,
+                                  method=DEVANetwork.encode_mask)
+        return c + 1e-6 * jnp.mean(value).astype(c.dtype)
+
+    t_mem = timed_scan("encode_mask(write)", mem, img)
+
+    total = t_enc + t_att + t_dec + t_mem / 5
+    print(f"{'sum (write/5)':24s} {total * 1e3:8.2f} ms/frame "
+          f"(~{1.0 / total:.1f} fps equivalent)")
+
+
+if __name__ == "__main__":
+    main()

@@ -41,7 +41,8 @@ _SLOW_MODULES = {
     "test_losses", "test_tiny_vit", "test_convert_schema",
     "test_topk_drift", "test_metrics",
     # multi-frame driver / propagation suites
-    "test_batched", "test_batched_driver", "test_step_chunk",
+    "test_batched", "test_batched_driver", "test_batched_detection",
+    "test_step_chunk",
     "test_replay_detector", "test_ext_processors", "test_drivers_smoke",
     "test_training", "test_train_driver", "test_lt_eviction",
     # HF-model-driven suites (torch forward passes)

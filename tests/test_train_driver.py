@@ -126,8 +126,13 @@ def test_train_driver_stage_handoff(static_root, tmp_path, monkeypatch,
           "--save_network_interval", "2", "--save_checkpoint_interval", "100",
           "--n_devices", "8"])
     out = capsys.readouterr().out
+    # the stage-0 weights handed off IN MEMORY and stage 3 actually stepped
+    # on the VOS mixture
     assert "Loading weights from the previous stage" in out
-    # both stages exported weights
+    assert "Renewed loaders with max_skip=5" in out
+    # stage 0 exported weights; stage 3's export only fires near the real
+    # 150k-iteration end (save interval densifies to 1000 inside the last
+    # 5000 iters — reference:deva/train.py:233-234), so with 2 test
+    # iterations only the stage-0 artifact exists
     s0 = glob.glob(str(tmp_path / "saves" / "*handoff-s0" / "*.npz"))
-    s3 = glob.glob(str(tmp_path / "saves" / "*handoff-s03" / "*.npz"))
-    assert s0 and s3, (s0, s3)
+    assert s0, "stage-0 weights-only export missing"
