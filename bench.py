@@ -277,7 +277,7 @@ def main():
             # the reference's own measurement shape
             # (reference:evaluation/eval_vos.py:150-185), recorded alongside
             try:
-                extra["single_stream_fps"] = round(single_fps(20, 20), 3)
+                extra["single_stream_fps"] = round(single_fps(), 3)
             except Exception as e:
                 print(f"single-stream leg failed ({e!r})", file=sys.stderr)
         except Exception as e:  # never leave the driver without a number

@@ -59,11 +59,16 @@ class InferenceConfig:
 
     # Fused Pallas attention (deva_tpu/ops/pallas_attention.py): similarity
     # + masked top-k + softmax + readout with no dense [Q, N] affinity in
-    # HBM (SURVEY §2.7-1). 'auto' = on for TPU, for BOTH top-k methods: the
-    # resolved topk_method selects the kernel — 'exact' -> attend_pallas
-    # (reference top-k semantics), 'approx' (the TPU serving default) ->
-    # attend_pallas_approx (threshold support ⊇ exact top-k; drift bounded
-    # in tests/test_topk_drift.py). Parity in tests/test_pallas_attention.py.
+    # HBM (SURVEY §2.7-1). 'auto' = on for TPU; the resolved topk_method +
+    # a MEASURED shape policy select the impl — 'exact' -> attend_pallas
+    # (reference top-k semantics, bitwise parity); 'approx' (the TPU
+    # serving default) -> XLA threshold-dense below
+    # FusedStepper.PALLAS_MIN_TOKENS ring tokens (measured faster there:
+    # 2.98 vs 5.37 ms/frame at the default 16.9k-token serving shape —
+    # the one materialized [Q, N] similarity costs less than the fused
+    # path's three in-VMEM similarity rebuilds), attend_pallas_approx
+    # above (threshold support ⊇ exact top-k; drift bounded in
+    # tests/test_topk_drift.py). Parity in tests/test_pallas_attention.py.
     use_pallas_attention: object = "auto"
 
     def resolve_use_pallas(self) -> bool:

@@ -37,22 +37,37 @@ class FusedStepper:
         self.topk_method = topk_method
         self._cache: Dict = {}
 
+    # Below this many ring tokens the XLA threshold-dense path beats the
+    # fused Pallas kernels on-chip: measured per-frame device time at the
+    # default serving shape (16.9k tokens, 1620 queries, 3 objects, bf16
+    # rings, scan-amortized, scripts/probe_components.py on v5e):
+    # XLA approx-dense 2.98 ms vs fused-approx 5.37 ms — one materialized
+    # [Q, N] similarity (107 MB, ~0.4 ms of HBM traffic) costs less than
+    # the fused path's three in-VMEM similarity rebuilds. The fused kernel
+    # (no dense [Q, N] at all, SURVEY §2.7-1) takes over when the dense
+    # tensor stops being cheap.
+    PALLAS_MIN_TOKENS = 32768
+
     def _attend(self, key_ring, shr_ring, value_ring, valid, qk, qe,
                 want_usage: bool):
-        """Masked top-k attention over one ring; Pallas or XLA readout.
-        With Pallas on, the resolved topk_method picks the kernel: 'exact'
-        -> attend_pallas (reference top-k), 'approx' (TPU serving default)
-        -> attend_pallas_approx (threshold support ⊇ exact top-k). Neither
-        materializes a dense [Q, N] affinity in HBM (SURVEY §2.7-1)."""
+        """Masked top-k attention over one ring. The impl is picked by the
+        resolved topk_method and the MEASURED shape policy above: 'exact'
+        -> attend_pallas (reference top-k, bitwise parity); 'approx' (TPU
+        serving default) -> XLA threshold-dense below PALLAS_MIN_TOKENS,
+        attend_pallas_approx (threshold support ⊇ exact top-k) above."""
         if self.use_pallas:
             from deva_tpu.ops.pallas_attention import (attend_pallas,
                                                        attend_pallas_approx)
             if ma.resolve_topk_method(self.topk_method) == "approx":
-                return attend_pallas_approx(key_ring, shr_ring, value_ring,
-                                            qk, qe, self.top_k, valid,
-                                            return_usage=want_usage)
-            return attend_pallas(key_ring, shr_ring, value_ring, qk, qe,
-                                 self.top_k, valid, return_usage=want_usage)
+                if key_ring.shape[0] >= self.PALLAS_MIN_TOKENS:
+                    return attend_pallas_approx(key_ring, shr_ring,
+                                                value_ring, qk, qe,
+                                                self.top_k, valid,
+                                                return_usage=want_usage)
+            else:
+                return attend_pallas(key_ring, shr_ring, value_ring, qk, qe,
+                                     self.top_k, valid,
+                                     return_usage=want_usage)
         sim = ma.get_similarity(key_ring, shr_ring, qk, qe)
         if want_usage:
             aff, usage = ma.topk_softmax(sim, self.top_k, valid,
@@ -94,9 +109,10 @@ class FusedStepper:
                 lt_valid = jnp.arange(lcap) < lt_size
                 work_valid = jnp.arange(cap) < size
                 if self.use_pallas and \
-                        ma.resolve_topk_method(self.topk_method) == "approx":
-                    # multi-ring fused kernel: the [N_lt + N_work] value
-                    # concat never materializes in HBM
+                        ma.resolve_topk_method(self.topk_method) == \
+                        "approx" and \
+                        lcap + cap >= self.PALLAS_MIN_TOKENS:
+                    # multi-ring fused kernel (shape policy: see _attend)
                     from deva_tpu.ops.pallas_attention import \
                         attend_pallas_approx_multi
                     rd, (lt_usage, work_usage_arr) = \

@@ -31,23 +31,22 @@ EXACT (`attend_pallas`) — reference top-k semantics:
 APPROX (`attend_pallas_approx`) — the TPU serving default. Threshold
 semantics like memory_attention.topk_softmax(method='approx'): the support
 {sim >= t} always CONTAINS the exact top-k, and the extra entries carry
-weights no larger than the smallest exact-top-k weight. Three passes, each
-rebuilding similarity tiles in VMEM (the sim matmuls are ~10x cheaper than
-the readout matmul, so recomputing beats materializing):
+weights no larger than the smallest exact-top-k weight. Two kernels over
+the (physically concatenated) rings, each rebuilding similarity tiles in
+VMEM with ONE K=2*Ck MXU matmul:
 
 A. `_segmax_kernel`: fold each similarity tile to per-group maxima
-   (groups of `n_tile >> folds` lanes; a partition of the token axis), so
-   only [Q, N/group] reaches HBM. The row max of the group maxima is the
-   EXACT row max; the k-th largest group max is a LOWER bound on the exact
-   k-th similarity (each of the top-k lives in some group whose max is >=
-   it), so thresholding at it keeps a superset of the exact top-k with at
-   most ~k*group_size entries.
-B. `_denom_kernel`: rebuild sim tiles, accumulate the softmax denominator
-   sum(exp(sim - rowmax) | sim >= t) per query. No value traffic.
-C. `_thresh_readout_kernel`: rebuild sim tiles once more, form the
-   normalized affinity tile in VMEM, and run the MXU readout against the
-   value ring (in the ring dtype — bf16 rings feed the MXU natively);
-   per-token usage comes out as per-q-tile column-sum partials.
+   (groups of <= 4 lanes; a partition of the token axis), so only
+   [Q, N/group] reaches HBM. The row max of the group maxima is the EXACT
+   row max; the k-th largest group max is a LOWER bound on the exact k-th
+   similarity (each of the top-k lives in some group whose max is >= it),
+   so thresholding at it keeps a superset of the exact top-k with at most
+   ~k*group_size entries.
+BC. `_denom_readout_kernel` (2-phase grid): phase 0 accumulates the softmax
+   denominator sum(exp(sim - rowmax) | sim >= t) per query in VMEM scratch;
+   phase 1 rebuilds the normalized affinity tiles and runs the MXU readout
+   against the value ring (in the ring dtype — bf16 rings feed the MXU
+   natively); per-token usage comes out as per-q-tile column-sum partials.
 
 Parity is asserted in tests/test_pallas_attention.py; drift of the approx
 path against the exact reference semantics is bounded in
@@ -61,6 +60,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -74,7 +74,7 @@ def _round_up(x: int, m: int) -> int:
 # needs for bitwise XLA parity; the threshold semantics tolerate the extra
 # rounding, and the measured on-chip drift vs exact is asserted by
 # scripts/probe_attend.py and bounded in tests/test_topk_drift.py.
-_APPROX_PRECISION = jax.lax.Precision.DEFAULT
+_APPROX_PRECISION = jax.lax.Precision.HIGHEST
 
 
 # --------------------------------------------------------------------------
@@ -354,193 +354,276 @@ def attend_pallas(mk: jnp.ndarray, ms: Optional[jnp.ndarray],
 
 
 # --------------------------------------------------------------------------
-# APPROX path, pass A: per-group similarity maxima
+# APPROX path (v3): 2 kernels over the concatenated rings
 # --------------------------------------------------------------------------
+#
+# v3 layout notes (why this differs from the EXACT path's sim form):
+# - ONE MXU matmul per similarity tile: with selection present,
+#   sim_pre = [2*(qk*qe) ; -qe] @ [mk ; mk*mk]^T  (K = 2*Ck = 128 — fills
+#   the 128-lane MXU; the EXACT path's two K=64 matmuls run half-empty).
+#   Then sim = (sim_pre - sum(qe*qk^2)) * ms/sqrt(Ck). Accumulation order
+#   differs from the XLA path (one 128-term sum), which the threshold
+#   semantics tolerate; the EXACT kernel keeps the two-matmul HIGHEST form
+#   for bitwise parity.
+# - The rings ([long-term ; working]) are PHYSICALLY concatenated in XLA
+#   first: the copy is ~0.1 ms at serving shapes and buys a single kernel
+#   sweep + in-kernel denominators; the dense [Q, N] affinity still never
+#   exists in HBM (SURVEY §2.7-1).
+# - Pass A (_segmax_kernel): per-group (<=4 lanes) maxima -> threshold via
+#   approx_max_k in XLA.
+# - Pass BC (_denom_readout_kernel): a 2-phase grid (qi, phase, nj); phase 0
+#   accumulates the softmax denominator in VMEM scratch, phase 1 rebuilds
+#   the normalized affinity tiles and feeds the MXU readout + usage
+#   column sums. Denominators never round-trip to HBM.
 
-def _segmax_kernel(qe_ref, qkqe_ref, bsq_ref, mk_ref, msq_ref, msv_ref,
-                   vmask_ref, out_ref, *, folds: int, has_qe: bool,
-                   precision):
+
+def _prep2(qk, qe, mk, ms, valid, q_tile, n_tile):
+    """v3 operand prep: (qcat, mcat, bsq, msq, msv, vmask) padded."""
+    q, ck = qk.shape
+    n = mk.shape[0]
+    n_tile = n_tile if n >= n_tile else _round_up(max(n, 128), 128)
+    q_tile = q_tile if q >= q_tile else _round_up(max(q, 8), 8)
+    qp, np_ = _round_up(q, q_tile), _round_up(n, n_tile)
+
+    qk = qk.astype(jnp.float32)
+    mk_f = mk.astype(jnp.float32)
+    has_qe = qe is not None
+    if has_qe:
+        qe_f = qe.astype(jnp.float32)
+        qcat = jnp.concatenate([2.0 * qk * qe_f, -qe_f], axis=-1)
+        mcat = jnp.concatenate([mk_f, mk_f * mk_f], axis=-1)
+        bsq = jnp.sum(qe_f * qk * qk, axis=-1, keepdims=True)
+    else:
+        qcat = 2.0 * qk
+        mcat = mk_f
+        bsq = jnp.zeros((q, 1), jnp.float32)
+    msv = (ms.astype(jnp.float32) / math.sqrt(ck)) if ms is not None else \
+        jnp.full((n,), 1.0 / math.sqrt(ck), jnp.float32)
+    vmask = jnp.ones((n,), jnp.float32) if valid is None else \
+        valid.astype(jnp.float32)
+    # qe=None keeps the a_sq row outside the matmul — the same sum(mk*mk)
+    # reduction the XLA path uses
+    msq = jnp.sum(mk_f * mk_f, axis=-1) if not has_qe else \
+        jnp.zeros((n,), jnp.float32)
+
+    ops = (jnp.pad(qcat, ((0, qp - q), (0, 0))),
+           jnp.pad(mcat, ((0, np_ - n), (0, 0))),
+           jnp.pad(bsq, ((0, qp - q), (0, 0))),
+           jnp.pad(msq, (0, np_ - n))[None],
+           jnp.pad(msv, (0, np_ - n))[None],
+           jnp.pad(vmask, (0, np_ - n))[None])
+    return ops, has_qe, q_tile, n_tile, qp, np_, qcat.shape[-1]
+
+
+def _sim_tile2(qcat_ref, mcat_ref, bsq_ref, msq_ref, msv_ref, vmask_ref, *,
+               has_qe: bool):
+    sim = jnp.dot(qcat_ref[:], mcat_ref[:].T,
+                  preferred_element_type=jnp.float32,
+                  precision=_APPROX_PRECISION)
+    if has_qe:
+        sim = (sim - bsq_ref[:]) * msv_ref[:]
+    else:
+        sim = (sim - msq_ref[:]) * msv_ref[:]
+    return jnp.where(vmask_ref[:] > 0, sim, -jnp.inf)
+
+
+def _sim_specs2(q_tile, n_tile, kc, extra_grid_dims=0):
+    """BlockSpecs for the 6 _prep2 operands. index maps take (qi, ..., nj)
+    with `extra_grid_dims` dims between."""
+    if extra_grid_dims == 0:
+        qmap = lambda qi, nj: (qi, 0)
+        nmap_k = lambda qi, nj: (nj, 0)
+        nmap_r = lambda qi, nj: (0, nj)
+    else:
+        qmap = lambda qi, ph, nj: (qi, 0)
+        nmap_k = lambda qi, ph, nj: (nj, 0)
+        nmap_r = lambda qi, ph, nj: (0, nj)
+    return [
+        pl.BlockSpec((q_tile, kc), qmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((n_tile, kc), nmap_k, memory_space=pltpu.VMEM),
+        pl.BlockSpec((q_tile, 1), qmap, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_tile), nmap_r, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_tile), nmap_r, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_tile), nmap_r, memory_space=pltpu.VMEM),
+    ]
+
+
+def _segmax_kernel(qcat_ref, mcat_ref, bsq_ref, msq_ref, msv_ref, vmask_ref,
+                   out_ref, *, folds: int, has_qe: bool):
     """Fold the [Q_T, N_T] similarity tile in half `folds` times: out column
     g is the max over the group {g, g+W, g+2W, ...} (W = N_T >> folds) — a
     partition of the tile's tokens, so max over groups == exact row max."""
-    sim = _sim_tile(qe_ref, qkqe_ref, bsq_ref, mk_ref, msq_ref, msv_ref,
-                    vmask_ref, has_qe=has_qe, precision=precision)
+    sim = _sim_tile2(qcat_ref, mcat_ref, bsq_ref, msq_ref, msv_ref,
+                     vmask_ref, has_qe=has_qe)
     for _ in range(folds):
         half = sim.shape[1] // 2
         sim = jnp.maximum(sim[:, :half], sim[:, half:])
     out_ref[:] = sim
 
 
-# --------------------------------------------------------------------------
-# APPROX path, pass B: softmax denominator over the threshold support
-# --------------------------------------------------------------------------
-
-def _denom_kernel(qe_ref, qkqe_ref, bsq_ref, mk_ref, msq_ref, msv_ref,
-                  vmask_ref, rmax_ref, th_ref, den_ref, acc_ref, *,
-                  has_qe: bool, precision):
-    nj = pl.program_id(1)
-
-    @pl.when(nj == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    sim = _sim_tile(qe_ref, qkqe_ref, bsq_ref, mk_ref, msq_ref, msv_ref,
-                    vmask_ref, has_qe=has_qe, precision=precision)
-    # sim is -inf on invalid slots and rmax is clamped finite, so
-    # exp(-inf - rmax) == 0: invalid tokens never contribute
-    e = jnp.where(sim >= th_ref[:], jnp.exp(sim - rmax_ref[:]), 0.0)
-    acc_ref[:] += jnp.sum(e, axis=-1, keepdims=True)
-
-    @pl.when(nj == pl.num_programs(1) - 1)
-    def _():
-        den_ref[:] = acc_ref[:]
-
-
-# --------------------------------------------------------------------------
-# APPROX path, pass C: normalized affinity tiles -> MXU readout + usage
-# --------------------------------------------------------------------------
-
-def _thresh_readout_kernel(qe_ref, qkqe_ref, bsq_ref, mk_ref, msq_ref,
-                           msv_ref, vmask_ref, rmax_ref, th_ref, invd_ref,
-                           v_ref, out_ref, use_ref, acc_ref, *,
-                           has_qe: bool, precision):
-    nj = pl.program_id(1)
-
-    @pl.when(nj == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    sim = _sim_tile(qe_ref, qkqe_ref, bsq_ref, mk_ref, msq_ref, msv_ref,
-                    vmask_ref, has_qe=has_qe, precision=precision)
-    aff = jnp.where(sim >= th_ref[:], jnp.exp(sim - rmax_ref[:]), 0.0) \
-        * invd_ref[:]
-    # usage partial: per-q-tile column sums (summed over q-tiles in XLA) —
-    # exact affinity.sum(axis=0) given this support
-    # (reference:memory_utils.py:73-74). The out block is [1, 1, N_T] (3-D
-    # so Mosaic's last-two-dims divisibility constraint sees (1-full, N_T)).
-    use_ref[:] = jnp.sum(aff, axis=0)[None, None]
-    # readout in the ring dtype (bf16 rings feed the MXU natively at full
-    # rate; f32 accumulate)
-    acc_ref[:] += jnp.dot(aff.astype(v_ref.dtype), v_ref[:],
-                          preferred_element_type=jnp.float32)
-
-    @pl.when(nj == pl.num_programs(1) - 1)
-    def _():
-        out_ref[:] = acc_ref[:]
-
-
-def _segmax_pass(ops, grid, q_tile, n_tile, ck, qp, np_, has_qe, interpret):
-    """Pass A: [Qp, N/group] group maxima of the similarity."""
-    seg_w = 128  # lanes per output block (Mosaic-friendly); group = N_T/128
-    folds = max((n_tile // seg_w).bit_length() - 1, 0)
+def _segmax_pass(ops, grid, q_tile, n_tile, kc, qp, np_, has_qe, interpret):
+    """Pass A: [Qp, N/group] group maxima of the similarity. The group size
+    is capped at 4 regardless of tile width (bigger groups loosen the
+    threshold — extras scale with group_size*k) while keeping the output
+    block lane count >= 128 (Mosaic divisibility)."""
+    folds = 0
+    for f in (2, 1):  # largest group <= 4 with a 128-divisible output block
+        if (n_tile >> f) % 128 == 0 and (n_tile >> f) > 0:
+            folds = f
+            break
     nseg_tile = n_tile >> folds
     nseg = grid[1] * nseg_tile
     return pl.pallas_call(
-        functools.partial(_segmax_kernel, folds=folds, has_qe=has_qe,
-                          precision=_APPROX_PRECISION),
+        functools.partial(_segmax_kernel, folds=folds, has_qe=has_qe),
         grid=grid,
-        in_specs=_sim_specs(q_tile, n_tile, ck),
+        in_specs=_sim_specs2(q_tile, n_tile, kc),
         out_specs=pl.BlockSpec((q_tile, nseg_tile), lambda qi, nj: (qi, nj),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((qp, nseg), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=4 * qp * np_ * ck + qp * np_,
-            bytes_accessed=np_ * ck * 4 * grid[0] + qp * nseg * 4,
+            flops=2 * qp * np_ * kc + qp * np_,
+            bytes_accessed=np_ * kc * 4 * grid[0] + qp * nseg * 4,
             transcendentals=0),
         interpret=interpret,
     )(*ops)
 
 
-def _qrow_specs(q_tile, n):
-    return [pl.BlockSpec((q_tile, 1), lambda qi, nj: (qi, 0),
-                         memory_space=pltpu.VMEM)] * n
+def _denom_readout_kernel(qcat_ref, mcat_ref, bsq_ref, msq_ref, msv_ref,
+                          vmask_ref, rmax_ref, th_ref, qvalid_ref, v_ref,
+                          out_ref, use_ref, den_ref, acc_ref, *,
+                          has_qe: bool):
+    """2-phase grid (qi, phase, nj). Phase 0: accumulate the softmax
+    denominator over the threshold support into VMEM scratch. Phase 1: the
+    normalized affinity tile -> MXU readout + usage column sums. sim is
+    -inf on invalid slots and rmax is clamped finite, so exp never sees
+    inf-inf."""
+    ph = pl.program_id(1)
+    nj = pl.program_id(2)
+
+    sim = _sim_tile2(qcat_ref, mcat_ref, bsq_ref, msq_ref, msv_ref,
+                     vmask_ref, has_qe=has_qe)
+    e = jnp.where(sim >= th_ref[:], jnp.exp(sim - rmax_ref[:]), 0.0)
+
+    @pl.when((ph == 0) & (nj == 0))
+    def _():
+        den_ref[:] = jnp.zeros_like(den_ref)
+
+    @pl.when(ph == 0)
+    def _():
+        den_ref[:] += jnp.sum(e, axis=-1, keepdims=True)
+
+    @pl.when(ph == 1)
+    def _():
+        @pl.when(nj == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        # padded query rows build real similarities (their pads are zeros,
+        # not -inf): qvalid zeroes their affinity, killing both their
+        # readout rows and their usage contributions
+        invd = qvalid_ref[:] / jnp.maximum(den_ref[:], 1e-30)
+        aff = e * invd
+        # usage partial: per-q-tile column sums (summed over q-tiles in
+        # XLA) — exact affinity.sum(axis=0) given this support
+        # (reference:memory_utils.py:73-74). [1, 1, N_T] block so Mosaic's
+        # last-two-dims constraint sees (1-full, N_T).
+        use_ref[:] = jnp.sum(aff, axis=0)[None, None]
+        acc_ref[:] += jnp.dot(aff.astype(v_ref.dtype), v_ref[:],
+                              preferred_element_type=jnp.float32)
+
+        @pl.when(nj == pl.num_programs(2) - 1)
+        def _():
+            out_ref[:] = acc_ref[:]
 
 
-def _denom_pass(ops, rmax, th, grid, q_tile, n_tile, ck, qp, np_, has_qe,
-                interpret):
-    """Pass B: softmax denominator over the threshold support."""
-    return pl.pallas_call(
-        functools.partial(_denom_kernel, has_qe=has_qe,
-                          precision=_APPROX_PRECISION),
-        grid=grid,
-        in_specs=_sim_specs(q_tile, n_tile, ck) + _qrow_specs(q_tile, 2),
-        out_specs=pl.BlockSpec((q_tile, 1), lambda qi, nj: (qi, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((qp, 1), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((q_tile, 1), jnp.float32)],
-        cost_estimate=pl.CostEstimate(
-            flops=4 * qp * np_ * ck + 3 * qp * np_,
-            bytes_accessed=np_ * ck * 4 * grid[0] + qp * 8,
-            transcendentals=qp * np_),
-        interpret=interpret,
-    )(*ops, rmax, th)
-
-
-def _readout_pass(ops, rmax, th, invd, values, n, grid, q_tile, n_tile, ck,
-                  qp, np_, has_qe, interpret):
-    """Pass C: normalized affinity tiles -> MXU readout + usage partials."""
+def _denom_readout_pass(ops, rmax, th, qvalid, values, n, grid, q_tile,
+                        n_tile, kc, qp, np_, has_qe, interpret):
     o, cv = values.shape[1:]
     cp = _round_up(o * cv, 128)
     v_p = jnp.pad(values.reshape(n, o * cv), ((0, np_ - n), (0, cp - o * cv)))
     n_qt = qp // q_tile
+    grid3 = (grid[0], 2, grid[1])
+    qrow = [pl.BlockSpec((q_tile, 1), lambda qi, ph, nj: (qi, 0),
+                         memory_space=pltpu.VMEM)] * 3
     out, use_part = pl.pallas_call(
-        functools.partial(_thresh_readout_kernel, has_qe=has_qe,
-                          precision=_APPROX_PRECISION),
-        grid=grid,
-        in_specs=_sim_specs(q_tile, n_tile, ck) + _qrow_specs(q_tile, 3) + [
-            pl.BlockSpec((n_tile, cp), lambda qi, nj: (nj, 0),
+        functools.partial(_denom_readout_kernel, has_qe=has_qe),
+        grid=grid3,
+        in_specs=_sim_specs2(q_tile, n_tile, kc, extra_grid_dims=1) + qrow + [
+            # phase 0 parks on value block 0 (no readout there), phase 1
+            # streams the real blocks
+            pl.BlockSpec((n_tile, cp), lambda qi, ph, nj: (nj * ph, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((q_tile, cp), lambda qi, nj: (qi, 0),
+            pl.BlockSpec((q_tile, cp), lambda qi, ph, nj: (qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n_tile), lambda qi, nj: (qi, 0, nj),
+            pl.BlockSpec((1, 1, n_tile), lambda qi, ph, nj: (qi, 0, nj),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((qp, cp), jnp.float32),
                    jax.ShapeDtypeStruct((n_qt, 1, np_), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((q_tile, cp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((q_tile, 1), jnp.float32),
+                        pltpu.VMEM((q_tile, cp), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=4 * qp * np_ * ck + 2 * qp * np_ * cp + 3 * qp * np_,
-            bytes_accessed=(np_ * ck * 4 * grid[0] +
+            flops=2 * (2 * qp * np_ * kc) + 2 * qp * np_ * cp + 6 * qp * np_,
+            bytes_accessed=(np_ * kc * 4 * grid[0] * 2 +
                             np_ * cp * values.dtype.itemsize * n_qt +
                             qp * cp * 4 + n_qt * np_ * 4),
-            transcendentals=qp * np_),
+            transcendentals=2 * qp * np_),
         interpret=interpret,
-    )(*ops, rmax, th, invd, v_p)
+    )(*ops, rmax, th, qvalid, v_p)
     return out[:, :o * cv], use_part
 
 
 def attend_pallas_approx_multi(rings, qk: jnp.ndarray,
                                qe: Optional[jnp.ndarray], top_k: int,
                                return_usage: bool = False, *,
-                               q_tile: int = 256, n_tile: int = 512,
+                               q_tile: int = 256, n_tile=None,
                                interpret: bool = False):
     """Threshold-approx fused attention over SEVERAL memory rings at once —
     the serving shape is [long-term ring ; working ring]
-    (reference:deva/inference/memory_manager.py:107-134 concatenates them);
-    here each ring keeps its own kernels and only the tiny per-query
-    statistics (group maxima, denominators) merge in XLA, so the
-    [N_lt + N_work, O, Cv] value concat never materializes in HBM.
+    (reference:deva/inference/memory_manager.py:107-134). The rings are
+    concatenated on the token axis (a ~0.1 ms stream at serving shapes) and
+    swept by the two v3 kernels; per-ring usage splits back afterwards. The
+    dense [Q, N] affinity never materializes in HBM.
 
     rings: sequence of (mk [N,Ck], ms [N]|None, values [N,O,Cv],
     valid [N]|None). Returns (out [O,Q,Cv], [usage_0, usage_1, ...]) with
     one usage array per ring when return_usage."""
     q = qk.shape[0]
     o, cv = rings[0][2].shape[1:]
+    lens = [r[0].shape[0] for r in rings]
 
-    preps, segs = [], []
-    for mk, ms, values, valid in rings:
-        ops, has_qe, qt, nt, qp, np_, ck = _prep_inputs(
-            qk, qe, mk, ms, valid, q_tile, n_tile)
-        grid = (qp // qt, np_ // nt)
-        preps.append((ops, grid, qt, nt, ck, qp, np_, has_qe))
-        segs.append(_segmax_pass(ops, grid, qt, nt, ck, qp, np_, has_qe,
-                                 interpret))
-    qp = preps[0][5]
-    assert all(p[5] == qp for p in preps), "rings must share the query pad"
+    if len(rings) == 1:
+        mk, ms, values, valid = rings[0]
+    else:
+        mk = jnp.concatenate([r[0] for r in rings])
+        ms = None if all(r[1] is None for r in rings) else jnp.concatenate(
+            [r[1] if r[1] is not None else jnp.ones((r[0].shape[0],),
+                                                    r[0].dtype)
+             for r in rings])
+        values = jnp.concatenate([r[2] for r in rings])
+        valid = None if all(r[3] is None for r in rings) else \
+            jnp.concatenate(
+                [r[3] if r[3] is not None
+                 else jnp.ones((r[0].shape[0],), bool) for r in rings])
+    n = mk.shape[0]
 
-    segmax = segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=-1)
+    if n_tile is None:
+        # adaptive tile width: per-grid-step fixed costs (DMA setup,
+        # semaphores) matter at 512-wide tiles on serving shapes; use the
+        # widest tile whose double-buffered value block fits the VMEM
+        # budget (pass BC holds [n_tile, cp] x2 + accumulators)
+        cp = _round_up(o * cv, 128)
+        row_bytes = cp * values.dtype.itemsize
+        n_tile = 1024 if row_bytes <= 3072 else 512
+
+    ops, has_qe, q_tile, n_tile, qp, np_, kc = _prep2(
+        qk, qe, mk, ms, valid, q_tile, n_tile)
+    grid = (qp // q_tile, np_ // n_tile)
+
+    segmax = _segmax_pass(ops, grid, q_tile, n_tile, kc, qp, np_, has_qe,
+                          interpret)
     # exact row max (group maxima partition the tokens); clamped finite so
     # rows with zero valid tokens stay NaN-free like the XLA paths
     rmax = jnp.max(segmax, axis=-1, keepdims=True)
@@ -558,34 +641,19 @@ def attend_pallas_approx_multi(rings, qk: jnp.ndarray,
     else:
         seg_vals, _ = jax.lax.top_k(segmax, kk)
     th = seg_vals[:, -1:]
+    qvalid = (jnp.arange(qp) < q).astype(jnp.float32)[:, None]
 
-    denom = None
-    for (ops, grid, qt, nt, ck, _qp, np_, has_qe) in preps:
-        d = _denom_pass(ops, rmax, th, grid, qt, nt, ck, qp, np_, has_qe,
-                        interpret)
-        denom = d if denom is None else denom + d
-    # padded query rows build real similarities (their qe/qk pads are zeros,
-    # not -inf), so kill them here: invd multiplies the affinity in pass C,
-    # zeroing both their readout rows (sliced off anyway) and — crucially —
-    # their contribution to the usage column sums.
-    qvalid = (jnp.arange(qp) < q)[:, None]
-    invd = jnp.where(qvalid, 1.0 / jnp.maximum(denom, 1e-30), 0.0)
-
-    out = None
-    usages = []
-    for (ops, grid, qt, nt, ck, _qp, np_, has_qe), (mk, ms, values, valid) \
-            in zip(preps, rings):
-        n = mk.shape[0]
-        part, use_part = _readout_pass(ops, rmax, th, invd, values, n, grid,
-                                       qt, nt, ck, qp, np_, has_qe,
-                                       interpret)
-        out = part if out is None else out + part
-        usages.append(jnp.sum(use_part, axis=(0, 1))[:n])
-
+    out, use_part = _denom_readout_pass(ops, rmax, th, qvalid, values, n,
+                                        grid, q_tile, n_tile, kc, qp, np_,
+                                        has_qe, interpret)
     out = out[:q].reshape(q, o, cv).transpose(1, 0, 2)
     if return_usage:
+        usage = jnp.sum(use_part, axis=(0, 1))[:n]
+        offs = np.cumsum([0] + lens)
+        usages = [usage[offs[i]:offs[i + 1]] for i in range(len(rings))]
         return out, usages
     return out
+
 
 
 def attend_pallas_approx(mk: jnp.ndarray, ms: Optional[jnp.ndarray],
@@ -593,7 +661,7 @@ def attend_pallas_approx(mk: jnp.ndarray, ms: Optional[jnp.ndarray],
                          qe: Optional[jnp.ndarray], top_k: int,
                          valid: Optional[jnp.ndarray] = None,
                          return_usage: bool = False, *,
-                         q_tile: int = 256, n_tile: int = 512,
+                         q_tile: int = 256, n_tile=None,
                          interpret: bool = False):
     """Fused threshold-approx attention (TPU serving default; see module
     docstring). Same signature/layout as attend_pallas. Guarantee: the

@@ -21,8 +21,9 @@ from deva_tpu.config import InferenceConfig, ModelConfig
 from deva_tpu.models.network import DEVANetwork
 
 
-def timed_scan(name, fn, carry0, n=20):
-    """fn(carry, i) -> carry; time one launch of lax.scan over n steps."""
+def timed_scan(name, fn, carry0, n=20, scale=1):
+    """fn(carry, i) -> carry; time one launch of lax.scan over n steps
+    (divided by `scale` for per-sample numbers of batched components)."""
     @jax.jit
     def run(c0):
         return jax.lax.scan(lambda c, i: (fn(c, i), 0),
@@ -37,13 +38,17 @@ def timed_scan(name, fn, carry0, n=20):
             lambda x: x + jnp.asarray(rep + 1, x.dtype) * 1e-6
             if jnp.issubdtype(x.dtype, jnp.floating) else x, carry0))
         _ = float(jnp.asarray(jax.tree.leaves(out)[0]).ravel()[0])
-        ts.append((time.perf_counter() - t0) / n)
+        ts.append((time.perf_counter() - t0) / (n * scale))
     t = sorted(ts)[1]
     print(f"{name:24s} {t * 1e3:8.2f} ms/frame")
     return t
 
 
 def main():
+    only = sys.argv[sys.argv.index("--only") + 1] if "--only" in sys.argv \
+        else None
+    b = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv \
+        else 1
     h, w = 480, 864
     o = 3
     model = DEVANetwork(ModelConfig(dtype="bfloat16"))
@@ -51,13 +56,16 @@ def main():
         jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
         jnp.zeros((1, 1, 32, 32)), jnp.zeros((1, 1, 2, 2, 512)))
     rng = np.random.default_rng(0)
-    img = jnp.asarray(rng.standard_normal((1, h, w, 3)), jnp.float32)
+    img = jnp.asarray(rng.standard_normal((b, h, w, 3)), jnp.float32)
     hq, wq = h // 16, w // 16
     q = hq * wq
     cv = model.config.value_dim
     ck = model.config.key_dim
 
-    print(f"platform={jax.devices()[0].platform} {h}x{w} o={o}")
+    print(f"platform={jax.devices()[0].platform} {h}x{w} o={o} batch={b}")
+
+    def want(name):
+        return only is None or only in name
 
     # encode_image + transform_key
     def enc(c, i):
@@ -66,7 +74,8 @@ def main():
                                     method=DEVANetwork.transform_key)
         return c + 1e-6 * jnp.mean(key)
 
-    t_enc = timed_scan("encode+key_proj", enc, img)
+    t_enc = timed_scan("encode+key_proj", enc, img, scale=b) \
+        if want("encode") else 0.0
 
     # serving-shape attention (work ring saturated + small LT ring)
     n_work, n_lt, k = 16384, 512, 30
@@ -90,16 +99,34 @@ def main():
             return_usage=True)
         return c + 1e-6 * jnp.mean(out).astype(c.dtype)
 
-    t_att = timed_scan("attention(lt+work)", att, qk0)
+    t_att = timed_scan("attention(lt+work)", att, qk0) \
+        if want("attention") else 0.0
+
+    # XLA threshold-dense comparison at the same serving shape
+    from deva_tpu.ops import memory_attention as ma
+    mk_c = jnp.concatenate([lk, mk])
+    ms_c = jnp.concatenate([ls, msr])
+    v_om = jnp.transpose(jnp.concatenate([lv, vw]), (1, 0, 2))
+    valid_c = jnp.concatenate([lvalid, wvalid])
+
+    def att_xla(c, i):
+        out, usage = ma.attend(mk_c, ms_c, v_om, c, qe0, top_k=k,
+                               valid=valid_c, return_usage=True,
+                               method="approx")
+        return c + 1e-6 * jnp.mean(out).astype(c.dtype)
+
+    t_att_x = timed_scan("attention(xla approx)", att_xla, qk0) \
+        if want("attention") else 0.0
 
     # decode (segment): readout + sensory + last_mask -> probs
     ms_feats, feat = model.apply(variables, img,
                                  method=DEVANetwork.encode_image)
-    readout0 = jnp.asarray(rng.standard_normal((1, o, hq, wq, cv)),
+    ms_feats = jax.tree.map(lambda x: x, ms_feats)
+    readout0 = jnp.asarray(rng.standard_normal((b, o, hq, wq, cv)),
                            jnp.float32)
-    sensory0 = jnp.zeros((1, o, hq, wq, cv), jnp.float32)
-    lm0 = jnp.asarray(rng.uniform(0, 1, (1, o, h, w)), jnp.float32)
-    selector = jnp.ones((1, o), jnp.float32)
+    sensory0 = jnp.zeros((b, o, hq, wq, cv), jnp.float32)
+    lm0 = jnp.asarray(rng.uniform(0, 1, (b, o, h, w)), jnp.float32)
+    selector = jnp.ones((b, o), jnp.float32)
 
     def dec(c, i):
         new_sensory, _, prob = model.apply(
@@ -107,7 +134,8 @@ def main():
             update_sensory=True, method=DEVANetwork.segment)
         return c + 1e-6 * jnp.mean(prob)
 
-    t_dec = timed_scan("decode(segment)", dec, readout0)
+    t_dec = timed_scan("decode(segment)", dec, readout0, scale=b) \
+        if want("decode") else 0.0
 
     # mask encode (memory write; amortized over mem_every=5)
     def mem(c, i):
@@ -116,7 +144,8 @@ def main():
                                   method=DEVANetwork.encode_mask)
         return c + 1e-6 * jnp.mean(value).astype(c.dtype)
 
-    t_mem = timed_scan("encode_mask(write)", mem, img)
+    t_mem = timed_scan("encode_mask(write)", mem, img, scale=b) \
+        if want("mask") else 0.0
 
     total = t_enc + t_att + t_dec + t_mem / 5
     print(f"{'sum (write/5)':24s} {total * 1e3:8.2f} ms/frame "

@@ -271,15 +271,17 @@ def test_attend_pallas_approx_multi_ring_equals_concat():
     qk = jnp.asarray(rng.standard_normal((q, ck)), jnp.float32)
     qe = jnp.asarray(rng.uniform(0, 1, (q, ck)), jnp.float32)
 
+    # pin the tile width: the exact-equality premise needs identical token
+    # grouping on both sides (the ring boundary n1=512 aligns to the grid)
     out_m, (u1, u2) = attend_pallas_approx_multi(
         [(mk1, ms1, v1, valid1), (mk2, ms2, v2, valid2)], qk, qe, k,
-        return_usage=True, interpret=True)
+        return_usage=True, n_tile=512, interpret=True)
 
     out_c, u_c = attend_pallas_approx(
         jnp.concatenate([mk1, mk2]), jnp.concatenate([ms1, ms2]),
         jnp.concatenate([v1, v2]), qk, qe, k,
         valid=jnp.concatenate([valid1, valid2]), return_usage=True,
-        interpret=True)
+        n_tile=512, interpret=True)
 
     # same support definition as long as the ring boundary aligns with the
     # tile grid (n1 % n_tile == 0 here), so results match to float noise
