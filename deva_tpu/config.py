@@ -71,10 +71,14 @@ class InferenceConfig:
     # tests/test_topk_drift.py). Parity in tests/test_pallas_attention.py.
     use_pallas_attention: object = "auto"
 
-    def resolve_use_pallas(self) -> bool:
+    def resolve_use_pallas(self):
+        """-> False (XLA paths only), True (fused kernels FORCED for both
+        top-k methods), or 'auto' (fused for 'exact'; for 'approx' the
+        measured shape policy in FusedStepper picks XLA threshold-dense at
+        DEVA-sized rings — see FusedStepper.PALLAS_MIN_TOKENS)."""
         if self.use_pallas_attention == "auto":
             import jax
-            return jax.default_backend() == "tpu"
+            return "auto" if jax.default_backend() == "tpu" else False
         return bool(self.use_pallas_attention)
 
     # top-k selection for the memory readout: 'exact' (sort-based, bit-parity

@@ -38,28 +38,35 @@ class FusedStepper:
         self._cache: Dict = {}
 
     # Below this many ring tokens the XLA threshold-dense path beats the
-    # fused Pallas kernels on-chip: measured per-frame device time at the
-    # default serving shape (16.9k tokens, 1620 queries, 3 objects, bf16
-    # rings, scan-amortized, scripts/probe_components.py on v5e):
-    # XLA approx-dense 2.98 ms vs fused-approx 5.37 ms — one materialized
-    # [Q, N] similarity (107 MB, ~0.4 ms of HBM traffic) costs less than
-    # the fused path's three in-VMEM similarity rebuilds. The fused kernel
-    # (no dense [Q, N] at all, SURVEY §2.7-1) takes over when the dense
-    # tensor stops being cheap.
-    PALLAS_MIN_TOKENS = 32768
+    # fused Pallas kernels on-chip. Measured per-frame device time (1620
+    # queries, 3 objects, bf16 rings, scan-amortized,
+    # scripts/probe_components.py on v5e):
+    #     tokens   XLA approx-dense   fused-approx
+    #     16.9k        2.98 ms           5.37 ms
+    #     49.7k        5.76 ms           7.67 ms
+    # One materialized [Q, N] similarity costs less than the fused path's
+    # three in-VMEM similarity rebuilds; the slopes put the crossover near
+    # ~190k tokens — beyond ANY DEVA configuration (work<=T_max*HW + LT
+    # <=10k tops out ~26k at defaults). The fused kernels stay available
+    # (use_pallas_attention=True forces them; 'exact' still uses the
+    # bitwise-parity fused kernel, which beats XLA exact-dense 14 vs 47
+    # ms) but the approx serving default is the dense path by measurement.
+    PALLAS_MIN_TOKENS = 196608
 
     def _attend(self, key_ring, shr_ring, value_ring, valid, qk, qe,
                 want_usage: bool):
-        """Masked top-k attention over one ring. The impl is picked by the
-        resolved topk_method and the MEASURED shape policy above: 'exact'
-        -> attend_pallas (reference top-k, bitwise parity); 'approx' (TPU
+        """Masked top-k attention over one ring. use_pallas is False / True
+        (forced) / 'auto'; with 'auto' the impl is picked by the resolved
+        topk_method and the MEASURED shape policy above: 'exact' ->
+        attend_pallas (reference top-k, bitwise parity); 'approx' (TPU
         serving default) -> XLA threshold-dense below PALLAS_MIN_TOKENS,
         attend_pallas_approx (threshold support ⊇ exact top-k) above."""
         if self.use_pallas:
             from deva_tpu.ops.pallas_attention import (attend_pallas,
                                                        attend_pallas_approx)
             if ma.resolve_topk_method(self.topk_method) == "approx":
-                if key_ring.shape[0] >= self.PALLAS_MIN_TOKENS:
+                if self.use_pallas is True or \
+                        key_ring.shape[0] >= self.PALLAS_MIN_TOKENS:
                     return attend_pallas_approx(key_ring, shr_ring,
                                                 value_ring, qk, qe,
                                                 self.top_k, valid,
@@ -111,7 +118,8 @@ class FusedStepper:
                 if self.use_pallas and \
                         ma.resolve_topk_method(self.topk_method) == \
                         "approx" and \
-                        lcap + cap >= self.PALLAS_MIN_TOKENS:
+                        (self.use_pallas is True or
+                         lcap + cap >= self.PALLAS_MIN_TOKENS):
                     # multi-ring fused kernel (shape policy: see _attend)
                     from deva_tpu.ops.pallas_attention import \
                         attend_pallas_approx_multi

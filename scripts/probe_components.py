@@ -77,8 +77,11 @@ def main():
     t_enc = timed_scan("encode+key_proj", enc, img, scale=b) \
         if want("encode") else 0.0
 
-    # serving-shape attention (work ring saturated + small LT ring)
-    n_work, n_lt, k = 16384, 512, 30
+    # serving-shape attention (work ring saturated + small LT ring);
+    # --tokens N overrides the work-ring capacity (crossover probing)
+    n_work = int(sys.argv[sys.argv.index("--tokens") + 1]) \
+        if "--tokens" in sys.argv else 16384
+    n_lt, k = 512, 30
     dt = jnp.bfloat16
     mk = jnp.asarray(rng.standard_normal((n_work, ck)), dt)
     msr = jnp.asarray(rng.uniform(1, 4, (n_work,)), dt)

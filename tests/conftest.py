@@ -45,6 +45,7 @@ _SLOW_MODULES = {
     "test_step_chunk",
     "test_replay_detector", "test_ext_processors", "test_drivers_smoke",
     "test_training", "test_train_driver", "test_lt_eviction",
+    "test_detection_parity", "test_consensus_associated",
     # HF-model-driven suites (torch forward passes)
     "test_sam_decoder", "test_jax_sam", "test_gdino",
 }
