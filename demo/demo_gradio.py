@@ -35,12 +35,21 @@ from deva_tpu.inference.result_saver import ResultSaver
 
 def track_video(model, variables, cfg, ext_cfg, detector, video_path: str,
                 out_dir: str, max_frames: int = -1,
-                process_fn=None) -> str:
-    """Decode -> track -> encode. Returns the output video path."""
+                process_fn=None, progress=None) -> str:
+    """Decode -> track -> encode with per-frame progress (the reference
+    drives a tqdm over the estimated frame count,
+    reference:demo/demo_gradio.py:60-85). Returns the output video path."""
     cap = cv2.VideoCapture(video_path)
     fps = cap.get(cv2.CAP_PROP_FPS) or 24
     n_total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
     vid_length = n_total if max_frames <= 0 else min(n_total, max_frames)
+    if progress is None:
+        from tqdm import tqdm
+        bar = tqdm(total=vid_length)
+        tick = bar.update
+    else:
+        it = iter(progress.tqdm(range(vid_length)))
+        tick = lambda _=1: next(it, None)
 
     count_usage = (cfg.enable_long_term and (
         vid_length / (cfg.max_mid_term_frames - cfg.min_mid_term_frames) *
@@ -71,6 +80,7 @@ def track_video(model, variables, cfg, ext_cfg, detector, video_path: str,
         fn(deva, detector, ext_cfg, f"{ti:07d}.jpg", result_saver, ti,
            image_np=frame)
         ti += 1
+        tick(1)
     prompt = ext_cfg.get("prompt")
     flush_buffer(deva, result_saver,
                  prompts=[p for p in prompt.split(".") if p.strip()]
@@ -108,34 +118,99 @@ def main():
             raise SystemExit("gradio is not installed; run in CLI mode with "
                              "--video instead")
 
-        def run_text(video, prompt, max_frames):
-            ext = dict(ext_cfg, prompt=prompt)
-            with tempfile.TemporaryDirectory() as d:
-                return track_video(model, variables, cfg, ext, detector,
-                                   video, d, int(max_frames))
+        # Per-run knobs mirror the reference app
+        # (reference:demo/demo_gradio.py:180-356): threshold, internal
+        # resolution, detection cadence, missed-detection purge, temporal
+        # setting, SAM variant — with the fully TPU-native MobileSAM /
+        # Light-HQ-SAM as first-class variants next to the HF models.
 
-        def run_auto(video, max_frames):
-            from deva_tpu.ext.detectors import HFAutomaticSAM
+        def _per_run_cfg(size, det_every, max_missed, temporal):
+            c = dataclasses.replace(
+                cfg, size=int(size), detection_every=int(det_every),
+                max_missed_detection_count=int(max_missed),
+                enable_long_term_count_usage=True)
+            e = dict(ext_cfg, size=int(size),
+                     detection_every=int(det_every),
+                     temporal_setting=temporal)
+            return c, e
+
+        def run_text(video, prompt, threshold, size, det_every, max_missed,
+                     temporal, max_frames, progress=gr.Progress()):
+            c, e = _per_run_cfg(size, det_every, max_missed, temporal)
+            e.update(prompt=prompt, DINO_THRESHOLD=float(threshold))
+            with tempfile.TemporaryDirectory() as d:
+                return track_video(model, variables, c, e, detector,
+                                   video, d, int(max_frames),
+                                   progress=progress)
+
+        def run_auto(video, iou_threshold, points_per_side, size, det_every,
+                     max_missed, temporal, sam_variant, suppress_small,
+                     max_frames, progress=gr.Progress()):
             from deva_tpu.ext.automatic_processor import \
                 process_frame_automatic
-            generator = HFAutomaticSAM(args.SAM_HF_PATH)
-            ext = dict(ext_cfg, suppress_small_objects=False)
+            if sam_variant in ("jax-mobile", "jax-light-hq"):
+                from deva_tpu.ext.jax_sam import JaxMobileSAM
+                generator = JaxMobileSAM(
+                    hq=(sam_variant == "jax-light-hq"),
+                    points_per_side=int(points_per_side),
+                    pred_iou_thresh=float(iou_threshold))
+            else:
+                from deva_tpu.ext.detectors import HFAutomaticSAM
+                generator = HFAutomaticSAM(
+                    args.SAM_HF_PATH,
+                    points_per_side=int(points_per_side),
+                    pred_iou_thresh=float(iou_threshold))
+            c, e = _per_run_cfg(size, det_every, max_missed, temporal)
+            e.update(suppress_small_objects=bool(suppress_small),
+                     SAM_NUM_POINTS_PER_SIDE=int(points_per_side),
+                     SAM_PRED_IOU_THRESHOLD=float(iou_threshold))
             with tempfile.TemporaryDirectory() as d:
                 return track_video(
-                    model, variables, cfg, ext, generator, video, d,
-                    int(max_frames),
-                    process_fn=process_frame_automatic)
+                    model, variables, c, e, generator, video, d,
+                    int(max_frames), process_fn=process_frame_automatic,
+                    progress=progress)
 
-        with gr.Blocks(title="deva_tpu") as app:
+        common = lambda: [
+            gr.Slider(384, 1080, value=480, step=1,
+                      label="Internal resolution"),
+            gr.Slider(1, 100, value=5, step=1,
+                      label="Incorporate detection every [X] frames"),
+            gr.Slider(1, 100, value=10, step=1,
+                      label="Delete segment if undetected for [X] times"),
+            gr.Dropdown(choices=["semionline", "online"],
+                        value="semionline", label="Temporal setting"),
+        ]
+        with gr.Blocks(title="deva_tpu: Tracking Anything "
+                             "(TPU-native DEVA)") as app:
             with gr.Tab("Text-prompted"):
-                gr.Interface(fn=run_text,
-                             inputs=[gr.Video(), gr.Text(),
-                                     gr.Number(value=-1)],
-                             outputs=gr.Video())
+                gr.Interface(
+                    fn=run_text,
+                    inputs=[gr.Video(), gr.Text(label="Prompt (class1.class2)"),
+                            gr.Slider(0.01, 0.99, value=0.35,
+                                      label="Detection threshold"),
+                            *common(), gr.Number(value=-1,
+                                                 label="Max frames (-1=all)")],
+                    outputs=gr.Video(),
+                    title="Text-prompted open-vocabulary tracking "
+                          "(Grounding DINO + SAM)")
             with gr.Tab("Automatic"):
-                gr.Interface(fn=run_auto,
-                             inputs=[gr.Video(), gr.Number(value=-1)],
-                             outputs=gr.Video())
+                gr.Interface(
+                    fn=run_auto,
+                    inputs=[gr.Video(),
+                            gr.Slider(0.01, 0.99, value=0.88,
+                                      label="IoU threshold"),
+                            gr.Slider(4, 256, value=32, step=1,
+                                      label="Num. points per side for SAM"),
+                            *common(),
+                            gr.Dropdown(
+                                choices=["jax-mobile", "jax-light-hq",
+                                         "hf-sam"],
+                                value="jax-mobile",
+                                label="SAM variant (jax-* run TPU-native)"),
+                            gr.Checkbox(label="Suppress small objects"),
+                            gr.Number(value=-1, label="Max frames (-1=all)")],
+                    outputs=gr.Video(),
+                    title="Automatic grid-prompted tracking")
         app.launch()
     else:
         assert args.video, "--video is required in CLI mode"
