@@ -30,6 +30,7 @@ from deva_tpu.data.vos_test_datasets import (DAVISTestDataset,
                                              YouTubeVOSTestDataset)
 from deva_tpu.data.transforms import resize_prob_to
 from deva_tpu.inference.core import InferenceCore
+from deva_tpu.utils.prefetch import Prefetcher
 from deva_tpu.inference.eval_args import (add_common_eval_args,
                                           get_model_and_config,
                                           report_max_memory, start_profile,
@@ -113,9 +114,9 @@ def main():
         first_mask_loaded = False
         print(f"{vid_name} ({vid_length} frames)")
 
-        with video_fault_barrier(vid_name, args.raise_on_error):
-            for ti in range(vid_length):
-                data = vid_reader[ti]
+        with video_fault_barrier(vid_name, args.raise_on_error), \
+                Prefetcher(vid_reader) as prefetch:
+            for ti, data in enumerate(prefetch):
                 image = data["rgb"]
                 mask = data.get("mask")
                 valid_labels = data.get("valid_labels")

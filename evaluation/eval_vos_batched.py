@@ -24,6 +24,7 @@ Usage (smoke clip):
 """
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import os
 import sys
@@ -44,6 +45,7 @@ from deva_tpu.data.vos_test_datasets import (DAVISTestDataset,
 from deva_tpu.data.transforms import resize_prob_to
 from deva_tpu.inference.batched import BatchedPropagator
 from deva_tpu.inference.core import InferenceCore
+from deva_tpu.utils.prefetch import Prefetcher
 from deva_tpu.inference.eval_args import (add_common_eval_args,
                                           get_model_and_config,
                                           report_max_memory, start_profile,
@@ -122,26 +124,34 @@ def run_group(model, variables, cfg, readers, out_path, save_all=False):
         bp.reserve(max_len // cfg.mem_every + 2)
     last = list(images0)
     n = 0
-    for ti in range(1, max_len):
-        datas = [r[ti] if ti < lengths[vi] else None
-                 for vi, r in enumerate(readers)]
-        frames = []
-        for vi, d in enumerate(datas):
-            if d is not None:
-                last[vi] = d["rgb"]
-            frames.append(last[vi])
-        probs = bp.step_all(frames, end=(ti == max_len - 1))
-        for vi, d in enumerate(datas):
-            if d is None:
-                continue
-            n += 1
-            info = d["info"]
-            if save_all or info["save"]:
-                save_frame(out_path, readers[vi].vid_name, info["frame"],
-                           probs[vi][:len(objects[vi]) + 1],
-                           bp.cores[vi].object_manager,
-                           readers[vi].get_palette(), tuple(info["shape"]),
-                           info["need_resize"])
+    with contextlib.ExitStack() as stack:
+        # per-video background decode: frame ti+1 loads while the chip
+        # propagates frame ti (SURVEY §2.8 host<->device pipeline; the
+        # reference's analog is DataLoader workers, eval_vos.py:122)
+        iters = [iter(stack.enter_context(Prefetcher(r, start=1)))
+                 for r in readers]
+        for ti in range(1, max_len):
+            datas = [next(iters[vi], None) if ti < lengths[vi] else None
+                     for vi, r in enumerate(readers)]
+            frames = []
+            for vi, d in enumerate(datas):
+                if d is not None:
+                    last[vi] = d["rgb"]
+                frames.append(last[vi])
+            probs = bp.step_all(frames, end=(ti == max_len - 1))
+            for vi, d in enumerate(datas):
+                if d is None:
+                    continue
+                n += 1
+                info = d["info"]
+                if save_all or info["save"]:
+                    save_frame(out_path, readers[vi].vid_name,
+                               info["frame"],
+                               probs[vi][:len(objects[vi]) + 1],
+                               bp.cores[vi].object_manager,
+                               readers[vi].get_palette(),
+                               tuple(info["shape"]),
+                               info["need_resize"])
     return n + len(readers)
 
 

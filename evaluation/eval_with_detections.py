@@ -32,6 +32,7 @@ import jax
 from deva_tpu.data.vps_test_datasets import (BURSTDetectionTestDataset,
                                              VIPSegDetectionTestDataset)
 from deva_tpu.inference.core import InferenceCore
+from deva_tpu.utils.prefetch import Prefetcher
 from deva_tpu.inference.eval_args import (add_common_eval_args,
                                           get_model_and_config,
                                           report_max_memory, start_profile,
@@ -140,9 +141,10 @@ def main():
             return np.asarray(out)
 
         barrier = video_fault_barrier(vid_name, args.raise_on_error)
-        with barrier:
-            for ti in range(vid_length):
-                data = vid_reader[ti]
+        with barrier, Prefetcher(vid_reader) as prefetch:
+            # background decode: frame ti+1 (image + detection PNG/JSON
+            # paths) loads while the chip works on frame ti
+            for ti, data in enumerate(prefetch):
                 image = data["rgb"]
                 mask = data.get("mask")
                 info = data["info"]

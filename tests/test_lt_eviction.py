@@ -68,3 +68,120 @@ def test_eviction_parity():
     ref_keys = list(ref_lt.key.values())[0].numpy().T  # [N, Ck]
     np.testing.assert_allclose(np.asarray(lt.key[:lt.size]), ref_keys,
                                atol=5e-3)
+
+
+def _mini_frames(rng, t):
+    base = rng.standard_normal((H // 8, W // 8, 3)).astype(np.float32)
+    return [np.kron(base + 0.1 * rng.standard_normal((H // 8, W // 8, 3)),
+                    np.ones((8, 8, 1))).astype(np.float32)
+            for _ in range(t)]
+
+
+def _mask0():
+    m = np.zeros((H, W), np.int64)
+    m[8:28, 10:40] = 1
+    m[36:60, 50:90] = 2
+    return m
+
+
+def test_lazy_lt_capacity_growth_equals_full():
+    """The long-term ring allocates lazily (4*P, doubled on demand,
+    memory.py:_compress); results must equal a ring sized to
+    max_long_term_elements from the first consolidation. Shapes chosen so
+    TWO growth steps fire (8 -> 16 -> 32) during the run."""
+    import jax
+    import jax.numpy as jnp
+    from deva_tpu.inference import memory as memmod
+
+    model = DEVANetwork(ModelConfig())
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)),
+                           jnp.zeros((1, 1, 32, 32)),
+                           jnp.zeros((1, 1, 2, 2, 512)))
+    cfg = InferenceConfig(
+        mem_every=1, top_k=8, enable_long_term=True,
+        enable_long_term_count_usage=True, max_mid_term_frames=3,
+        min_mid_term_frames=1, num_prototypes=2, max_long_term_elements=64,
+        topk_method="exact")
+
+    rng = np.random.default_rng(31)
+    t = 26  # consolidations every 2 writes after saturation -> lt_size > 16
+    frames = _mini_frames(rng, t)
+    mask0 = _mask0()
+
+    def run(full_capacity):
+        if full_capacity:
+            orig = memmod._round_up
+
+            def patched(x, m):
+                # inflate only the initial 4*P LT allocation
+                if (x, m) == (4 * cfg.num_prototypes, cfg.num_prototypes):
+                    return orig(cfg.max_long_term_elements, m)
+                return orig(x, m)
+            memmod._round_up = patched
+        try:
+            core = InferenceCore(model, variables, cfg)
+            core.step(frames[0], mask0, objects=[1, 2])
+            probs = [np.asarray(core.step(f)) for f in frames[1:]]
+        finally:
+            if full_capacity:
+                memmod._round_up = orig
+        (bid, _), = core.memory.buckets.items()
+        return probs, core.memory.long_buckets[bid]
+
+    probs_lazy, lt_lazy = run(False)
+    probs_full, lt_full = run(True)
+
+    assert lt_lazy.size == lt_full.size and lt_lazy.size > 16, lt_lazy.size
+    assert lt_lazy.cap < lt_full.cap, (lt_lazy.cap, lt_full.cap)
+    np.testing.assert_allclose(
+        np.asarray(lt_lazy.key[:lt_lazy.size], np.float32),
+        np.asarray(lt_full.key[:lt_full.size], np.float32),
+        atol=1e-5)
+    for ti, (a, b) in enumerate(zip(probs_lazy, probs_full)):
+        # different ring capacities compile different padded-shape programs
+        # whose op schedules differ by float noise on masked-slot math
+        np.testing.assert_allclose(a, b, atol=2e-3, err_msg=f"frame {ti}")
+
+
+def test_lazy_lt_capacity_growth_batched():
+    """Same property for the batched stacked LT rings
+    (batched.py:_maybe_consolidate growth)."""
+    import jax
+    import jax.numpy as jnp
+    from deva_tpu.inference.batched import BatchedPropagator
+
+    model = DEVANetwork(ModelConfig())
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)),
+                           jnp.zeros((1, 1, 32, 32)),
+                           jnp.zeros((1, 1, 2, 2, 512)))
+    cfg = InferenceConfig(
+        mem_every=1, top_k=8, enable_long_term=True,
+        enable_long_term_count_usage=True, max_mid_term_frames=3,
+        min_mid_term_frames=1, num_prototypes=2, max_long_term_elements=64,
+        topk_method="exact")
+    rng = np.random.default_rng(32)
+    t = 26
+    vids = [_mini_frames(rng, t), _mini_frames(rng, t)]
+    mask0 = _mask0()
+
+    bp = BatchedPropagator(model, variables, cfg)
+    bp.initialize([v[0] for v in vids], [mask0] * 2, [[1, 2]] * 2)
+    cap0 = bp.lt_key.shape[1]
+    for ti in range(1, t):
+        bp.step_all([v[ti] for v in vids])
+    assert (bp.lt_sizes > 16).all()
+    assert bp.lt_key.shape[1] > cap0, "LT ring growth never fired"
+
+    # parity against the sequential lazy path
+    core = InferenceCore(model, variables, cfg)
+    core.step(vids[0][0], mask0, objects=[1, 2])
+    for ti in range(1, t):
+        core.step(vids[0][ti])
+    (bid, _), = core.memory.buckets.items()
+    lt = core.memory.long_buckets[bid]
+    assert int(bp.lt_sizes[0]) == lt.size
+    np.testing.assert_allclose(
+        np.asarray(bp.lt_key[0, :lt.size], np.float32),
+        np.asarray(lt.key[:lt.size], np.float32), atol=5e-3)
