@@ -15,7 +15,7 @@ sys.path.insert(0, path.dirname(path.dirname(path.abspath(__file__))))
 import dataclasses
 
 from deva_tpu.data.simple_video_reader import SimpleVideoReader
-from deva_tpu.ext.detectors import HFAutomaticSAM
+from deva_tpu.ext.detectors import build_auto_generator
 from deva_tpu.ext.ext_eval_args import add_auto_default_args, add_ext_eval_args
 from deva_tpu.ext.automatic_processor import process_frame_automatic
 from deva_tpu.inference.core import InferenceCore
@@ -33,11 +33,7 @@ def main():
     add_auto_default_args(parser)
     model, variables, cfg, args = get_model_and_config(parser)
 
-    generator = HFAutomaticSAM(
-        args.SAM_HF_PATH,
-        points_per_side=args.SAM_NUM_POINTS_PER_SIDE,
-        points_per_batch=args.SAM_NUM_POINTS_PER_BATCH,
-        pred_iou_thresh=args.SAM_PRED_IOU_THRESHOLD)
+    generator = build_auto_generator(args)
     ext_cfg = vars(args)
 
     video_reader = SimpleVideoReader(args.img_path)

@@ -23,7 +23,7 @@ import dataclasses
 
 import cv2
 
-from deva_tpu.ext.detectors import HFGroundedSAM
+from deva_tpu.ext.detectors import build_text_detector
 from deva_tpu.ext.ext_eval_args import add_ext_eval_args, add_text_default_args
 from deva_tpu.ext.with_text_processor import process_frame_with_text
 from deva_tpu.inference.core import InferenceCore
@@ -109,7 +109,7 @@ def main():
         max_missed_detection_count=args.max_missed_detection_count,
         max_num_objects=args.max_num_objects)
     ext_cfg = vars(args)
-    detector = HFGroundedSAM(args.GROUNDING_DINO_HF_PATH, args.SAM_HF_PATH)
+    detector = build_text_detector(args)
 
     if args.serve:
         try:

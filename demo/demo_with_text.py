@@ -20,7 +20,7 @@ sys.path.insert(0, path.dirname(path.dirname(path.abspath(__file__))))
 import dataclasses
 
 from deva_tpu.data.simple_video_reader import SimpleVideoReader
-from deva_tpu.ext.detectors import HFGroundedSAM
+from deva_tpu.ext.detectors import build_text_detector
 from deva_tpu.ext.ext_eval_args import add_ext_eval_args, add_text_default_args
 from deva_tpu.ext.with_text_processor import process_frame_with_text
 from deva_tpu.inference.core import InferenceCore
@@ -38,7 +38,7 @@ def main():
     add_text_default_args(parser)
     model, variables, cfg, args = get_model_and_config(parser)
 
-    detector = HFGroundedSAM(args.GROUNDING_DINO_HF_PATH, args.SAM_HF_PATH)
+    detector = build_text_detector(args)
     ext_cfg = vars(args)
 
     video_reader = SimpleVideoReader(args.img_path)

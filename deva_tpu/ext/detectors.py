@@ -88,20 +88,29 @@ def _target_shape(h: int, w: int, min_side: int) -> Tuple[int, int]:
 # --------------------------------------------------------------------------
 
 class HFGroundedSAM:
-    """Grounding DINO (text -> boxes) + SAM (box -> mask) via transformers."""
+    """Grounding DINO (text -> boxes) + a pluggable box->mask source.
 
-    def __init__(self, gdino_path: str, sam_path: str, device: str = "cpu"):
+    mask_source: an object with masks_for_boxes(image_np, boxes) — e.g. the
+    TPU-native JaxMobileSAM — replacing the HF SAM (sam_path is then
+    ignored). The reference's 4 SAM variants behind one predictor interface:
+    reference:deva/ext/grounding_dino.py:41-73."""
+
+    def __init__(self, gdino_path: str, sam_path: str, device: str = "cpu",
+                 mask_source=None):
         import torch
         from transformers import (AutoProcessor,
-                                  GroundingDinoForObjectDetection, SamModel,
-                                  SamProcessor)
+                                  GroundingDinoForObjectDetection)
         self.torch = torch
         self.device = device
         self.gd_processor = AutoProcessor.from_pretrained(gdino_path)
         self.gd_model = GroundingDinoForObjectDetection.from_pretrained(
             gdino_path).to(device).eval()
-        self.sam_processor = SamProcessor.from_pretrained(sam_path)
-        self.sam_model = SamModel.from_pretrained(sam_path).to(device).eval()
+        self.mask_source = mask_source
+        if mask_source is None:
+            from transformers import SamModel, SamProcessor
+            self.sam_processor = SamProcessor.from_pretrained(sam_path)
+            self.sam_model = SamModel.from_pretrained(sam_path).to(
+                device).eval()
 
     def detect(self, image_np: np.ndarray, prompts: List[str],
                box_threshold: float, text_threshold: float):
@@ -127,6 +136,8 @@ class HFGroundedSAM:
     def masks_for_boxes(self, image_np: np.ndarray,
                         boxes: np.ndarray) -> np.ndarray:
         """Best-of-3 SAM masks per box -> [N, H, W] bool."""
+        if self.mask_source is not None:
+            return self.mask_source.masks_for_boxes(image_np, boxes)
         torch = self.torch
         out = []
         for box in boxes:
@@ -438,3 +449,46 @@ class ReplayDetector:
         masks = self.masks_for_boxes(image_np, None).astype(np.float32)
         return {"masks": masks,
                 "iou_preds": np.asarray(r["scores"], np.float32)}
+
+
+# --------------------------------------------------------------------------
+# variant factories (the reference's 4-way SAM dispatch,
+# reference:deva/ext/grounding_dino.py:32-75 / automatic_sam.py:16-44)
+# --------------------------------------------------------------------------
+
+def _jax_sam_from_args(args, variant: str, **kw):
+    from deva_tpu.ext.jax_sam import JaxMobileSAM
+    hq = variant in ("sam_hq_light", "light_hq", "jax-light-hq")
+    ckpt = getattr(args, "LIGHT_HQ_SAM_CHECKPOINT_PATH" if hq
+                   else "MOBILE_SAM_CHECKPOINT_PATH", None)
+    import os
+    if ckpt and os.path.exists(ckpt):
+        return JaxMobileSAM.from_torch_checkpoint(ckpt, hq=hq, **kw)
+    print(f"SAM checkpoint {ckpt!r} not found; using random-init "
+          f"JaxMobileSAM(hq={hq}) (protocol mode)")
+    return JaxMobileSAM(hq=hq, **kw)
+
+
+def build_text_detector(args):
+    """--sam_variant -> text-pipeline detector (detect + masks_for_boxes).
+    'mobile'/'sam_hq_light' run the fully TPU-native JaxMobileSAM /
+    Light-HQ-SAM; 'original'/'sam_hq'/'hf' use the HF SAM at SAM_HF_PATH."""
+    variant = getattr(args, "sam_variant", "original").lower()
+    if variant in ("mobile", "sam_hq_light", "light_hq", "jax-mobile",
+                   "jax-light-hq"):
+        ms = _jax_sam_from_args(args, variant)
+        return HFGroundedSAM(args.GROUNDING_DINO_HF_PATH, None,
+                             mask_source=ms)
+    return HFGroundedSAM(args.GROUNDING_DINO_HF_PATH, args.SAM_HF_PATH)
+
+
+def build_auto_generator(args):
+    """--sam_variant -> automatic grid-prompting generator (.generate)."""
+    variant = getattr(args, "sam_variant", "original").lower()
+    kw = dict(points_per_side=args.SAM_NUM_POINTS_PER_SIDE,
+              points_per_batch=args.SAM_NUM_POINTS_PER_BATCH,
+              pred_iou_thresh=args.SAM_PRED_IOU_THRESHOLD)
+    if variant in ("mobile", "sam_hq_light", "light_hq", "jax-mobile",
+                   "jax-light-hq"):
+        return _jax_sam_from_args(args, variant, **kw)
+    return HFAutomaticSAM(args.SAM_HF_PATH, **kw)

@@ -51,7 +51,9 @@ def add_text_default_args(parser: ArgumentParser) -> ArgumentParser:
     parser.add_argument("--prompt", type=str,
                         help="Separate classes with a single fullstop")
     parser.add_argument("--sam_variant", default="original",
-                        help="hf/original/mobile")
+                        help="original/sam_hq (HF SAM at SAM_HF_PATH) | "
+                             "mobile/sam_hq_light (fully TPU-native "
+                             "JaxMobileSAM / Light-HQ-SAM)")
     return parser
 
 
@@ -64,6 +66,8 @@ def add_auto_default_args(parser: ArgumentParser) -> ArgumentParser:
     parser.add_argument("--max_missed_detection_count", type=int, default=5)
     parser.add_argument("--max_num_objects", type=int, default=200)
     parser.add_argument("--sam_variant", default="original",
-                        help="hf/original/mobile")
+                        help="original/sam_hq (HF SAM at SAM_HF_PATH) | "
+                             "mobile/sam_hq_light (fully TPU-native "
+                             "JaxMobileSAM / Light-HQ-SAM)")
     parser.add_argument("--suppress_small_objects", action="store_true")
     return parser

@@ -79,6 +79,28 @@ class JaxMobileSAM:
         self._dec_points = jax.jit(functools.partial(
             self.decoder.apply, multimask_output=True))
 
+    @classmethod
+    def from_torch_checkpoint(cls, ckpt_path: str, *, hq: bool = False,
+                              **kwargs) -> "JaxMobileSAM":
+        """Load a RELEASED MobileSAM (`mobile_sam.pt`) or Light-HQ-SAM
+        (`sam_hq_vit_tiny.pt`) checkpoint — the original segment_anything
+        state_dict layout the reference consumes
+        (reference:deva/ext/MobileSAM/setup_mobile_sam.py:28-50,
+        reference:deva/ext/LightHQSAM/setup_light_hqsam.py:8-46) — into the
+        fully TPU-native stack."""
+        import torch
+
+        from deva_tpu.ext.sam_decoder import convert_original_sam_statedict
+        from deva_tpu.ext.tiny_vit import convert_tiny_vit_statedict
+
+        sd = torch.load(ckpt_path, map_location="cpu")
+        sd = sd.get("model", sd)
+        enc_sd = {k[len("image_encoder."):]: v for k, v in sd.items()
+                  if k.startswith("image_encoder.")}
+        variables = {"encoder": convert_tiny_vit_statedict(enc_sd),
+                     "decoder": convert_original_sam_statedict(sd)}
+        return cls(variables, hq=hq, **kwargs)
+
     # -- pre/post-processing --------------------------------------------------
 
     def _preprocess(self, image_np: np.ndarray):
@@ -182,3 +204,17 @@ class JaxMobileSAM:
         ious = np.asarray(all_ious, np.float32)
         keep = _mask_nms(masks > 0.5, ious, self.nms_iou)
         return {"masks": masks[keep], "iou_preds": ious[keep]}
+
+
+def load_variables_npz(npz_path: str) -> Dict:
+    """Load a JaxMobileSAM variable tree saved by
+    scripts/convert_sam_checkpoint.py (slash-joined tree paths)."""
+    flat = np.load(npz_path)
+    tree: Dict = {}
+    for key in flat.files:
+        node = tree
+        parts = key.split("/")
+        for k in parts[:-1]:
+            node = node.setdefault(k, {})
+        node[parts[-1]] = jnp.asarray(flat[key])
+    return tree

@@ -549,3 +549,113 @@ def convert_sam_decoder_statedict(sd) -> dict:
         ln(("maskfeat_ln",), f"{md}.mask_norm")
 
     return {"params": p}
+
+
+# --------------------------------------------------------------------------
+# converter: ORIGINAL segment_anything / sam-hq state_dicts
+# --------------------------------------------------------------------------
+
+def convert_original_sam_statedict(sd) -> dict:
+    """Maps an ORIGINAL `segment_anything`-style Sam state_dict — the layout
+    of the released MobileSAM (`mobile_sam.pt`) and Light-HQ-SAM
+    (`sam_hq_vit_tiny.pt`) checkpoints the reference loads through
+    `setup_mobile_sam`/`setup_light_hqsam`
+    (reference:deva/ext/MobileSAM/setup_mobile_sam.py:28-50,
+    reference:deva/ext/LightHQSAM/setup_light_hqsam.py:8-46) — onto the
+    SamDecoder module, by renaming to the HF-transformers layout and
+    delegating to convert_sam_decoder_statedict. Image-encoder keys are
+    ignored (convert them with tiny_vit.convert_tiny_vit_statedict).
+
+    Key coverage against the flax variable tree is asserted in
+    tests/test_sam_decoder.py; the original names themselves come from the
+    (long-stable) segment_anything / sam-hq module structure.
+    """
+    sd = {k: getattr(v, "numpy", lambda v=v: v)() for k, v in sd.items()}
+    out = {}
+
+    def seq(prefix_src, names_dst):
+        """nn.Sequential index -> named module (conv/norm/conv...)."""
+        for idx, dst in names_dst:
+            for leaf in ("weight", "bias"):
+                k = f"{prefix_src}.{idx}.{leaf}"
+                if k in sd:
+                    out[f"{dst}.{leaf}"] = sd[k]
+
+    def mlp(prefix_src, prefix_dst, depth=3):
+        """original MLP(layers.0..n-1) -> HF FeedForward
+        (proj_in / layers.0.. / proj_out)."""
+        for j in range(depth):
+            dst = ("proj_in" if j == 0 else
+                   "proj_out" if j == depth - 1 else f"layers.{j - 1}")
+            for leaf in ("weight", "bias"):
+                k = f"{prefix_src}.layers.{j}.{leaf}"
+                if k in sd:
+                    out[f"{prefix_dst}.{dst}.{leaf}"] = sd[k]
+
+    pe = "prompt_encoder"
+    out["shared_image_embedding.positional_embedding"] = \
+        sd[f"{pe}.pe_layer.positional_encoding_gaussian_matrix"]
+    for i in range(4):
+        out[f"{pe}.point_embed.{i}.weight"] = \
+            sd[f"{pe}.point_embeddings.{i}.weight"]
+    out[f"{pe}.not_a_point_embed.weight"] = sd[f"{pe}.not_a_point_embed.weight"]
+    out[f"{pe}.no_mask_embed.weight"] = sd[f"{pe}.no_mask_embed.weight"]
+    seq(f"{pe}.mask_downscaling",
+        [(0, f"{pe}.mask_embed.conv1"), (1, f"{pe}.mask_embed.layer_norm1"),
+         (3, f"{pe}.mask_embed.conv2"), (4, f"{pe}.mask_embed.layer_norm2"),
+         (6, f"{pe}.mask_embed.conv3")])
+
+    md = "mask_decoder"
+    for tok in ("iou_token", "mask_tokens"):
+        out[f"{md}.{tok}.weight"] = sd[f"{md}.{tok}.weight"]
+    li = 0
+    while f"{md}.transformer.layers.{li}.self_attn.q_proj.weight" in sd:
+        src = f"{md}.transformer.layers.{li}"
+        dst = src
+        for attn in ("self_attn", "cross_attn_token_to_image",
+                     "cross_attn_image_to_token"):
+            for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                for leaf in ("weight", "bias"):
+                    out[f"{dst}.{attn}.{proj}.{leaf}"] = \
+                        sd[f"{src}.{attn}.{proj}.{leaf}"]
+        for j in range(1, 5):
+            for leaf in ("weight", "bias"):
+                out[f"{dst}.layer_norm{j}.{leaf}"] = \
+                    sd[f"{src}.norm{j}.{leaf}"]
+        for lin in ("lin1", "lin2"):
+            for leaf in ("weight", "bias"):
+                out[f"{dst}.mlp.{lin}.{leaf}"] = sd[f"{src}.mlp.{lin}.{leaf}"]
+        li += 1
+    for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+        for leaf in ("weight", "bias"):
+            out[f"{md}.transformer.final_attn_token_to_image.{proj}.{leaf}"] \
+                = sd[f"{md}.transformer.final_attn_token_to_image."
+                     f"{proj}.{leaf}"]
+    for leaf in ("weight", "bias"):
+        out[f"{md}.transformer.layer_norm_final_attn.{leaf}"] = \
+            sd[f"{md}.transformer.norm_final_attn.{leaf}"]
+
+    seq(f"{md}.output_upscaling",
+        [(0, f"{md}.upscale_conv1"), (1, f"{md}.upscale_layer_norm"),
+         (3, f"{md}.upscale_conv2")])
+    i = 0
+    while f"{md}.output_hypernetworks_mlps.{i}.layers.0.weight" in sd:
+        mlp(f"{md}.output_hypernetworks_mlps.{i}",
+            f"{md}.output_hypernetworks_mlps.{i}")
+        i += 1
+    mlp(f"{md}.iou_prediction_head", f"{md}.iou_prediction_head")
+
+    if f"{md}.hf_token.weight" in sd:  # sam-hq (Light-HQ-SAM)
+        out[f"{md}.hq_token.weight"] = sd[f"{md}.hf_token.weight"]
+        mlp(f"{md}.hf_mlp", f"{md}.hq_mask_mlp")
+        seq(f"{md}.compress_vit_feat",
+            [(0, f"{md}.compress_vit_conv1"), (1, f"{md}.compress_vit_norm"),
+             (3, f"{md}.compress_vit_conv2")])
+        seq(f"{md}.embedding_encoder",
+            [(0, f"{md}.encoder_conv1"), (1, f"{md}.encoder_norm"),
+             (3, f"{md}.encoder_conv2")])
+        seq(f"{md}.embedding_maskfeature",
+            [(0, f"{md}.mask_conv1"), (1, f"{md}.mask_norm"),
+             (3, f"{md}.mask_conv2")])
+
+    return convert_sam_decoder_statedict(out)

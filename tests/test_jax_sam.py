@@ -44,3 +44,30 @@ def test_generate_protocol_and_auto_segment(sam, image):
                                        suppress_small_mask=False)
     assert mask.shape == (120, 160)
     assert len(segments_info) == len(np.unique(mask)) - (0 in np.unique(mask))
+
+
+def test_variant_factories_build_tpu_native():
+    """--sam_variant mobile/sam_hq_light routes to the TPU-native
+    JaxMobileSAM through the reference's 4-way dispatch
+    (reference:deva/ext/grounding_dino.py:41-73)."""
+    from types import SimpleNamespace
+
+    from deva_tpu.ext.detectors import build_auto_generator
+    from deva_tpu.ext.jax_sam import JaxMobileSAM
+
+    args = SimpleNamespace(sam_variant="mobile",
+                           MOBILE_SAM_CHECKPOINT_PATH="/nonexistent.pt",
+                           LIGHT_HQ_SAM_CHECKPOINT_PATH="/nonexistent.pt",
+                           SAM_NUM_POINTS_PER_SIDE=2,
+                           SAM_NUM_POINTS_PER_BATCH=4,
+                           SAM_PRED_IOU_THRESHOLD=0.5)
+    gen = build_auto_generator(args)
+    assert isinstance(gen, JaxMobileSAM) and not gen.hq
+
+    args.sam_variant = "sam_hq_light"
+    gen = build_auto_generator(args)
+    assert isinstance(gen, JaxMobileSAM) and gen.hq
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (64, 96, 3)).astype(np.uint8)
+    out = gen.generate(img)
+    assert out["masks"].shape[1:] == (64, 96)

@@ -249,3 +249,79 @@ def test_hq_jax_mobile_sam_end_to_end():
     assert m.shape == (1, 96, 128) and m.dtype == bool
     out = sam.generate(img)
     assert out["masks"].shape[1:] == (96, 128)
+
+
+def _hf_to_original_names(sd):
+    """Inverse rename: HF SamHQ state_dict -> the ORIGINAL segment_anything
+    / sam-hq layout (the released MobileSAM / Light-HQ-SAM checkpoints).
+    Test-only; composing with convert_original_sam_statedict must reproduce
+    convert_sam_decoder_statedict(hf_sd) exactly."""
+    import re
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("vision_encoder."):
+            continue
+        nk = k
+        nk = nk.replace("shared_image_embedding.positional_embedding",
+                        "prompt_encoder.pe_layer."
+                        "positional_encoding_gaussian_matrix")
+        if nk.startswith("prompt_encoder.shared_embedding"):
+            continue  # duplicate of the shared embedding
+        nk = nk.replace("prompt_encoder.point_embed.",
+                        "prompt_encoder.point_embeddings.")
+        for idx, dst in [("conv1", "0"), ("layer_norm1", "1"),
+                         ("conv2", "3"), ("layer_norm2", "4"),
+                         ("conv3", "6")]:
+            nk = nk.replace(f"prompt_encoder.mask_embed.{idx}.",
+                            f"prompt_encoder.mask_downscaling.{dst}.")
+        nk = re.sub(r"transformer\.layers\.(\d+)\.layer_norm(\d)",
+                    r"transformer.layers.\1.norm\2", nk)
+        nk = nk.replace("transformer.layer_norm_final_attn",
+                        "transformer.norm_final_attn")
+        for src, dst in [("upscale_conv1", "output_upscaling.0"),
+                         ("upscale_layer_norm", "output_upscaling.1"),
+                         ("upscale_conv2", "output_upscaling.3"),
+                         ("compress_vit_conv1", "compress_vit_feat.0"),
+                         ("compress_vit_norm", "compress_vit_feat.1"),
+                         ("compress_vit_conv2", "compress_vit_feat.3"),
+                         ("encoder_conv1", "embedding_encoder.0"),
+                         ("encoder_norm", "embedding_encoder.1"),
+                         ("encoder_conv2", "embedding_encoder.3"),
+                         ("mask_conv1", "embedding_maskfeature.0"),
+                         ("mask_norm", "embedding_maskfeature.1"),
+                         ("mask_conv2", "embedding_maskfeature.3")]:
+            nk = nk.replace(f"mask_decoder.{src}.", f"mask_decoder.{dst}.")
+        nk = nk.replace("mask_decoder.hq_token", "mask_decoder.hf_token")
+        # HF FeedForward proj_in/layers.j/proj_out -> original MLP layers.j
+        m = re.match(r"(.*)\.(proj_in|proj_out|layers\.(\d+))\.(weight|bias)$",
+                     nk)
+        if m and ("hypernetworks" in nk or "iou_prediction" in nk or
+                  "hq_mask_mlp" in nk):
+            base, which, inner, leaf = m.group(1), m.group(2), m.group(3), \
+                m.group(4)
+            depth = 3
+            j = 0 if which == "proj_in" else \
+                depth - 1 if which == "proj_out" else int(inner) + 1
+            base = base.replace("hq_mask_mlp", "hf_mlp")
+            nk = f"{base}.layers.{j}.{leaf}"
+        out[nk] = v
+    return out
+
+
+def test_original_checkpoint_layout_roundtrip(hf_and_flax_hq):
+    """convert_original_sam_statedict (the released MobileSAM /
+    Light-HQ-SAM .pt layout) must produce EXACTLY the same flax variables
+    as the HF-layout converter on the same weights."""
+    from deva_tpu.ext.sam_decoder import convert_original_sam_statedict
+    model, _, want = hf_and_flax_hq
+    orig_sd = _hf_to_original_names(model.state_dict())
+    got = convert_original_sam_statedict(orig_sd)
+
+    import jax
+    wl = jax.tree_util.tree_leaves_with_path(want)
+    gl = dict(jax.tree_util.tree_leaves_with_path(got))
+    assert len(wl) == len(gl)
+    for path_, w in wl:
+        g = gl[path_]
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w),
+                                      err_msg=str(path_))
