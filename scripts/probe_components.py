@@ -44,6 +44,28 @@ def timed_scan(name, fn, carry0, n=20, scale=1):
     return t
 
 
+def _xla_groupmax_attend(mk_c, ms_c, v_om, qk, qe, k, valid_c):
+    """Experimental: XLA threshold-dense with the threshold taken from a
+    4x group-max reduction of the dense sim (superset support, like the
+    pallas approx kernel) instead of approx_max_k over the full width."""
+    import jax
+    import jax.numpy as jnp
+    from deva_tpu.ops import memory_attention as ma
+    sim = ma.get_similarity(mk_c, ms_c, qk, qe)
+    sim = jnp.where(valid_c[None, :], sim, -jnp.inf)
+    q, n = sim.shape
+    g = sim.reshape(q, n // 4, 4).max(-1)
+    vals, _ = jax.lax.approx_max_k(g, k, recall_target=0.99)
+    th = vals[..., -1:]
+    rm = jnp.where(jnp.isfinite(vals[..., :1]), vals[..., :1], 0.0)
+    e = jnp.where(sim >= th, jnp.exp(sim - rm), 0.0)
+    aff = e / jnp.maximum(e.sum(-1, keepdims=True), 1e-30)
+    usage = aff.sum(0)
+    out = jnp.einsum("qn,onc->oqc", aff.astype(v_om.dtype), v_om,
+                     preferred_element_type=jnp.float32)
+    return out, usage
+
+
 def main():
     only = sys.argv[sys.argv.index("--only") + 1] if "--only" in sys.argv \
         else None
@@ -119,6 +141,14 @@ def main():
         return c + 1e-6 * jnp.mean(out).astype(c.dtype)
 
     t_att_x = timed_scan("attention(xla approx)", att_xla, qk0) \
+        if want("attention") else 0.0
+
+    def att_xla_gm(c, i):
+        out, usage = _xla_groupmax_attend(mk_c, ms_c, v_om, c, qe0, k,
+                                          valid_c)
+        return c + 1e-6 * jnp.mean(out).astype(c.dtype)
+
+    t_att_g = timed_scan("attention(xla groupmax)", att_xla_gm, qk0) \
         if want("attention") else 0.0
 
     # decode (segment): readout + sensory + last_mask -> probs
