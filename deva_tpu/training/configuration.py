@@ -77,6 +77,10 @@ class Configuration:
         parser.add_argument("--crop_size", type=int, default=384,
                             help="training crop size")
         # TPU-specific
+        parser.add_argument("--multihost", action="store_true",
+                            help="call jax.distributed.initialize() for "
+                                 "pod-slice (multi-host DCN) training; run "
+                                 "the same command on every host")
         parser.add_argument("--n_devices", type=int, default=-1,
                             help="data-parallel devices (-1 = all)")
 

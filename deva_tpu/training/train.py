@@ -61,6 +61,19 @@ def main(argv=None):
     raw_config = Configuration()
     raw_config.parse(argv)
 
+    if raw_config["multihost"]:
+        # Multi-host (pod-slice / DCN) SPMD: every host runs this same
+        # program; jax.distributed.initialize wires the coordination
+        # service (auto-detected on Cloud TPU) and jax.devices() then spans
+        # ALL hosts. This replaces the reference's torch.distributed.run
+        # process-per-GPU launch (reference:deva/train.py:22,
+        # docs/TRAINING.md:42); gradients still all-reduce through the
+        # compiler-inserted psum — over ICI within a slice, DCN across.
+        import jax.distributed
+        jax.distributed.initialize()
+        print(f"multi-host: process {jax.process_index()} of "
+              f"{jax.process_count()}")
+
     n_devices = raw_config["n_devices"]
     if n_devices <= 0:
         n_devices = len(jax.devices())

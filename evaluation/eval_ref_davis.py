@@ -25,6 +25,7 @@ from deva_tpu.data.transforms import resize_prob_to
 from deva_tpu.inference.consensus import \
     find_consensus_with_established_association
 from deva_tpu.inference.core import InferenceCore
+from deva_tpu.utils.prefetch import Prefetcher
 from deva_tpu.inference.eval_args import (add_common_eval_args,
                                           get_model_and_config,
                                           video_fault_barrier)
@@ -53,19 +54,21 @@ def run_bidirectional(model, variables, base_cfg, *, meta_dataset, vid_name,
                                   enable_long_term_count_usage=count_usage)
         processor = InferenceCore(model, variables, cfg,
                                   image_feature_store=image_feature_store)
-        for ti in range(vid_length):
-            data = vid_reader[ti]
-            info = data["info"]
-            image_ti = info["time_index"]
-            mask = projected_mask if image_ti == keyframe_ti else None
-            t0 = time.perf_counter()
-            prob = processor.step(data["rgb"], mask, end=(ti == vid_length - 1),
-                                  hard_mask=False, image_ti_override=image_ti,
-                                  delete_buffer=False)
-            prob = jax.block_until_ready(prob)
-            stats["time"] += time.perf_counter() - t0
-            stats["frames"] += 1
-            save_fn(processor, np.asarray(prob), info)
+        with Prefetcher(vid_reader) as prefetch:
+            for ti, data in enumerate(prefetch):
+                info = data["info"]
+                image_ti = info["time_index"]
+                mask = projected_mask if image_ti == keyframe_ti else None
+                t0 = time.perf_counter()
+                prob = processor.step(data["rgb"], mask,
+                                      end=(ti == vid_length - 1),
+                                      hard_mask=False,
+                                      image_ti_override=image_ti,
+                                      delete_buffer=False)
+                prob = jax.block_until_ready(prob)
+                stats["time"] += time.perf_counter() - t0
+                stats["frames"] += 1
+                save_fn(processor, np.asarray(prob), info)
     return stats
 
 

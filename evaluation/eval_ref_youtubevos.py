@@ -26,6 +26,7 @@ from deva_tpu.data.transforms import resize_prob_to
 from deva_tpu.inference.consensus import \
     find_consensus_with_established_association
 from deva_tpu.inference.core import InferenceCore
+from deva_tpu.utils.prefetch import Prefetcher
 from deva_tpu.inference.eval_args import (add_common_eval_args,
                                           get_model_and_config,
                                           video_fault_barrier)
@@ -97,30 +98,30 @@ def main():
                     processor = InferenceCore(
                         model, variables, cfg,
                         image_feature_store=image_feature_store)
-                    for ti in range(vid_length):
-                        data = reader[ti]
-                        info = data["info"]
-                        image_ti = info["time_index"]
-                        mask = projected_mask if image_ti == keyframe_ti else None
-                        t0 = time.perf_counter()
-                        prob = processor.step(data["rgb"], mask,
-                                              end=(ti == vid_length - 1),
-                                              hard_mask=False,
-                                              image_ti_override=image_ti,
-                                              delete_buffer=False)
-                        prob = np.asarray(jax.block_until_ready(prob))
-                        total_time += time.perf_counter() - t0
-                        total_frames += 1
+                    with Prefetcher(reader, stop=vid_length) as prefetch:
+                        for ti, data in enumerate(prefetch):
+                            info = data["info"]
+                            image_ti = info["time_index"]
+                            mask = projected_mask if image_ti == keyframe_ti else None
+                            t0 = time.perf_counter()
+                            prob = processor.step(data["rgb"], mask,
+                                                  end=(ti == vid_length - 1),
+                                                  hard_mask=False,
+                                                  image_ti_override=image_ti,
+                                                  delete_buffer=False)
+                            prob = np.asarray(jax.block_until_ready(prob))
+                            total_time += time.perf_counter() - t0
+                            total_frames += 1
 
-                        if info["need_resize"]:
-                            prob = resize_prob_to(prob, tuple(info["shape"]))
-                        out_mask = (prob[1] > prob[0]).astype(np.uint8) * 255
-                        if args.save_all or info["save"]:
-                            d = path.join(out_path, "Annotations", vid_name,
-                                          object_name)
-                            os.makedirs(d, exist_ok=True)
-                            Image.fromarray(out_mask).save(
-                                path.join(d, info["frame"][:-4] + ".png"))
+                            if info["need_resize"]:
+                                prob = resize_prob_to(prob, tuple(info["shape"]))
+                            out_mask = (prob[1] > prob[0]).astype(np.uint8) * 255
+                            if args.save_all or info["save"]:
+                                d = path.join(out_path, "Annotations", vid_name,
+                                              object_name)
+                                os.makedirs(d, exist_ok=True)
+                                Image.fromarray(out_mask).save(
+                                    path.join(d, info["frame"][:-4] + ".png"))
 
                 d = path.join(out_path, "Annotations", vid_name, object_name)
                 os.makedirs(d, exist_ok=True)

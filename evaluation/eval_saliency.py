@@ -24,6 +24,7 @@ from deva_tpu.data.transforms import resize_prob_to
 from deva_tpu.inference.consensus import \
     find_consensus_with_established_association
 from deva_tpu.inference.core import InferenceCore
+from deva_tpu.utils.prefetch import Prefetcher
 from deva_tpu.inference.eval_args import (add_common_eval_args,
                                           get_model_and_config,
                                           video_fault_barrier)
@@ -77,27 +78,28 @@ def main():
                     base_cfg, enable_long_term_count_usage=count_usage)
                 processor = InferenceCore(model, variables, cfg,
                                           image_feature_store=image_feature_store)
-                for ti in range(vid_length):
-                    data = reader[ti]
-                    info = data["info"]
-                    image_ti = info["time_index"]
-                    mask = projected_mask if image_ti == keyframe_ti else None
-                    t0 = time.perf_counter()
-                    prob = processor.step(data["rgb"], mask,
-                                          end=(ti == vid_length - 1),
-                                          hard_mask=False,
-                                          image_ti_override=image_ti)
-                    prob = np.asarray(jax.block_until_ready(prob))
-                    total_time += time.perf_counter() - t0
-                    total_frames += 1
+                with Prefetcher(reader) as prefetch:
+                    for ti, data in enumerate(prefetch):
+                        info = data["info"]
+                        image_ti = info["time_index"]
+                        mask = projected_mask if image_ti == keyframe_ti \
+                            else None
+                        t0 = time.perf_counter()
+                        prob = processor.step(data["rgb"], mask,
+                                              end=(ti == vid_length - 1),
+                                              hard_mask=False,
+                                              image_ti_override=image_ti)
+                        prob = np.asarray(jax.block_until_ready(prob))
+                        total_time += time.perf_counter() - t0
+                        total_frames += 1
 
-                    if info["need_resize"]:
-                        prob = resize_prob_to(prob, tuple(info["shape"]))
-                    out_mask = (prob[1] > prob[0]).astype(np.uint8) * 255
-                    d = path.join(out_path, vid_name)
-                    os.makedirs(d, exist_ok=True)
-                    Image.fromarray(out_mask).save(
-                        path.join(d, info["frame"][:-4] + ".png"))
+                        if info["need_resize"]:
+                            prob = resize_prob_to(prob, tuple(info["shape"]))
+                        out_mask = (prob[1] > prob[0]).astype(np.uint8) * 255
+                        d = path.join(out_path, vid_name)
+                        os.makedirs(d, exist_ok=True)
+                        Image.fromarray(out_mask).save(
+                            path.join(d, info["frame"][:-4] + ".png"))
 
             with open(path.join(out_path, vid_name, "key.txt"), "w") as f:
                 f.write(f"options: {time_indices}; keyframe: {keyframe_ti}")

@@ -44,6 +44,7 @@ _SLOW_MODULES = {
     "test_batched", "test_batched_driver", "test_batched_detection",
     "test_step_chunk",
     "test_replay_detector", "test_ext_processors", "test_drivers_smoke",
+    "test_ref_drivers_smoke",
     "test_training", "test_train_driver", "test_lt_eviction",
     "test_detection_parity", "test_consensus_associated",
     # HF-model-driven suites (torch forward passes)
