@@ -249,7 +249,11 @@ def main():
 
     t0 = time.perf_counter()
     metric = "480p_propagation_fps_per_chip"
-    extra = {"long_term_memory": True}
+    extra = {"long_term_memory": True,
+             "attention_impl": ("xla threshold-dense (measured shape "
+                                "policy; fused Pallas above "
+                                "PALLAS_MIN_TOKENS)" if pallas == "auto"
+                                else str(pallas))}
     flops_per_frame = None
 
     def single_fps(warm=65, measure=20):

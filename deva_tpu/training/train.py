@@ -69,8 +69,8 @@ def main(argv=None):
         # process-per-GPU launch (reference:deva/train.py:22,
         # docs/TRAINING.md:42); gradients still all-reduce through the
         # compiler-inserted psum — over ICI within a slice, DCN across.
-        import jax.distributed
-        jax.distributed.initialize()
+        from jax import distributed as jax_distributed
+        jax_distributed.initialize()
         print(f"multi-host: process {jax.process_index()} of "
               f"{jax.process_count()}")
 
