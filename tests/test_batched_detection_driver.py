@@ -1,0 +1,80 @@
+"""Driver-level equivalence: eval_with_detections_batched produces the same
+segmentations as the sequential eval_with_detections on a 2-video dataset
+(the vendored example clip duplicated), up to the random long-id drawing.
+Subprocess, CPU — the exact commands a user runs."""
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu")
+SRC = os.path.join(ROOT, "example", "vipseg")
+
+
+def _run(args):
+    return subprocess.run([sys.executable] + args, capture_output=True,
+                          text=True, cwd=ROOT, env=ENV, timeout=1500)
+
+
+@pytest.fixture(scope="module")
+def two_videos(tmp_path_factory):
+    root = tmp_path_factory.mktemp("vipseg2")
+    for vid in ("vidA", "vidB"):
+        shutil.copytree(os.path.join(SRC, "images", "12_1mWNahzcsAc"),
+                        root / "images" / vid)
+        shutil.copytree(os.path.join(SRC, "source", "12_1mWNahzcsAc"),
+                        root / "source" / vid)
+    return root
+
+
+def _rgb_to_id(arr):
+    a = arr.astype(np.int64)
+    return a[..., 0] * 65536 + a[..., 1] * 256 + a[..., 2]
+
+
+def _relabel_equal(dir_a, dir_b, budget=0.02):
+    """Per-video structural equality up to an id bijection (long ids are
+    random draws; the two drivers consume the RNG in different orders)."""
+    frames = sorted(os.listdir(dir_a))
+    assert frames == sorted(os.listdir(dir_b))
+    fwd = {}
+    for f in frames:
+        a = _rgb_to_id(np.array(Image.open(os.path.join(dir_a, f))))
+        b = _rgb_to_id(np.array(Image.open(os.path.join(dir_b, f))))
+        mismatched = 0
+        for ida in np.unique(a):
+            sel = a == ida
+            vals, counts = np.unique(b[sel], return_counts=True)
+            idb = int(vals[counts.argmax()])
+            if ida in fwd and fwd[ida] != idb:
+                mismatched += int(sel.sum() - counts.max())
+                continue
+            fwd.setdefault(ida, idb)
+            mismatched += int(sel.sum() - counts.max())
+        frac = mismatched / a.size
+        assert frac <= budget, f"{f}: {frac:.2%} pixels differ"
+
+
+def test_batched_driver_matches_sequential(two_videos, tmp_path):
+    out_seq = tmp_path / "seq"
+    out_bat = tmp_path / "bat"
+    common = ["--dataset", "demo", "--img_path",
+              str(two_videos / "images"), "--mask_path",
+              str(two_videos / "source"), "--model", "",
+              "--disable_long_term", "--size", "240", "--top_k", "8",
+              "--raise_on_error"]
+    r1 = _run(["evaluation/eval_with_detections.py", "--output",
+               str(out_seq)] + common)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    r2 = _run(["evaluation/eval_with_detections_batched.py", "--output",
+               str(out_bat), "--batch", "2"] + common)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+
+    for vid in ("vidA", "vidB"):
+        _relabel_equal(str(out_seq / "Annotations" / vid),
+                       str(out_bat / "Annotations" / vid))
