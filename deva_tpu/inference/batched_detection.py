@@ -120,10 +120,14 @@ class BatchedDetectionPropagator:
         self.last_mask = jnp.stack(lm_l)
         self.num_obj = jnp.asarray(nobj, jnp.int32)
         self.rowmaps = jnp.asarray(rowmaps, jnp.int32)
-        self.curr_ti = cores[0].curr_ti
-        self.last_mem_ti = cores[0].last_mem_ti
-        for c in cores:
-            assert c.curr_ti == self.curr_ti, "cores must be lockstepped"
+        # per-video frame clocks: videos may join the batch at different
+        # times and reset their memory cadence independently (a mid-stream
+        # mask forces a write and resets last_mem_ti,
+        # reference:deva/inference/inference_core.py:232-234), so neither
+        # clock is required to be uniform across the batch
+        self.curr_ti = np.asarray([c.curr_ti for c in cores], np.int64)
+        self.last_mem_ti = np.asarray([c.last_mem_ti for c in cores],
+                                      np.int64)
 
     def detach(self) -> None:
         """Write the advanced stacked state back into the per-video cores
@@ -147,13 +151,21 @@ class BatchedDetectionPropagator:
                 bk.size = need
             c.memory.update_sensory(self.sensory[vi, :c.o_cap])
             c.last_mask = self.last_mask[vi, :c.o_cap]
-            c.curr_ti = self.curr_ti
-            c.last_mem_ti = self.last_mem_ti
+            c.curr_ti = int(self.curr_ti[vi])
+            c.last_mem_ti = int(self.last_mem_ti[vi])
 
     # -- the vmapped body --------------------------------------------------
 
     def _body(self, n_slots: int, mem_write: bool, update_sensory: bool,
-              pads):
+              pads, masked_write: bool = False):
+        """masked_write: compile the write path but gate its effects by a
+        per-video `do_write` scalar — used when the batch's memory-write
+        schedules have diverged (mid-stream mask insertions reset each
+        video's cadence). Non-writers still execute the token write at
+        their cursor (the tokens land beyond `size`, are masked invalid by
+        every reader, and are overwritten by the next real write) but keep
+        their shallow sensory: only `size`/`last_mem_ti` advancement (host
+        side) and the deep-vs-shallow sensory select depend on the flag."""
         model = self.model
         cfg = self.cfg
         from deva_tpu.inference.fused_step import FusedStepper
@@ -162,9 +174,12 @@ class BatchedDetectionPropagator:
                                          use_pallas=cfg.resolve_use_pallas(),
                                          topk_method=cfg.topk_method)
         stepper = self._stepper
+        if masked_write:
+            assert mem_write and update_sensory, \
+                "masked writes only arise on non-end frames with a writer"
 
-        def fn(image, num_obj, keys, shrs, values, sizes, rowmaps, rowcnt,
-               sensory, last_mask, variables):
+        def fn(image, do_write, num_obj, keys, shrs, values, sizes, rowmaps,
+               rowcnt, sensory, last_mask, variables):
             lw, uw, lh, uh = pads
             padded = jnp.pad(image, ((lh, uh), (lw, uw), (0, 0)))[None]
             ms, key_feat = model.apply(variables, padded,
@@ -204,7 +219,13 @@ class BatchedDetectionPropagator:
                     variables, padded, ms[0], new_sensory[None],
                     new_last_mask[None], deep_update=True,
                     method=DEVANetwork.encode_mask)
-                new_sensory = deep_sensory[0]
+                if masked_write:
+                    # non-writers keep the shallow (post-segment) sensory —
+                    # the reference only deep-updates on memory frames
+                    new_sensory = jnp.where(do_write, deep_sensory[0],
+                                            new_sensory)
+                else:
+                    new_sensory = deep_sensory[0]
                 new_key = key[0].reshape(hq * wq, ck)
                 new_shr = shrinkage[0].reshape(hq * wq)
                 vals_g = value[0].reshape(o_cap, hq * wq, -1)
@@ -228,12 +249,14 @@ class BatchedDetectionPropagator:
         return fn
 
     def _fn(self, mem_write: bool, update_sensory: bool, pads,
-            donate: bool = True):
-        keyk = (self.n_slots, mem_write, update_sensory, pads, donate)
+            donate: bool = True, masked_write: bool = False):
+        keyk = (self.n_slots, mem_write, update_sensory, pads, donate,
+                masked_write)
         if keyk not in self._fns:
-            body = self._body(self.n_slots, mem_write, update_sensory, pads)
-            axes = (0,) * 10 + (None,)
-            dn = ((8, 9) + ((2, 3, 4) if mem_write else ())) if donate \
+            body = self._body(self.n_slots, mem_write, update_sensory, pads,
+                              masked_write)
+            axes = (0,) * 11 + (None,)
+            dn = ((9, 10) + ((3, 4, 5) if mem_write else ())) if donate \
                 else ()
             self._fns[keyk] = jax.jit(
                 jax.vmap(body, in_axes=axes),
@@ -253,16 +276,23 @@ class BatchedDetectionPropagator:
                                  ((0, 0), (0, 0), (0, grow), (0, 0), (0, 0)))
 
     def _launch(self, frames, mem_write: bool, update_sensory: bool,
-                keep_last_mask: bool = True, donate: bool = True):
+                keep_last_mask: bool = True, donate: bool = True,
+                write_mask=None):
+        """write_mask: None (uniform launch — every video follows
+        `mem_write`) or a [B] bool array of per-video writers (diverged
+        cadences); only writers advance their sizes."""
         frames = jnp.stack([jnp.asarray(f, jnp.float32) for f in frames])
         h, w = frames.shape[1:3]
         pads = pad_amounts(h, w, 16)
         hw = ((h + pads[2] + pads[3]) // 16) * ((w + pads[0] + pads[1]) // 16)
+        masked = write_mask is not None
         if mem_write:
             self._reserve(hw)
-        fn = self._fn(mem_write, update_sensory, pads, donate)
-        out = fn(frames, self.num_obj, self.key, self.shr, self.value,
-                 jnp.asarray(self.sizes), self.rowmaps,
+        do_write = jnp.ones((frames.shape[0],), bool) if not masked \
+            else jnp.asarray(write_mask)
+        fn = self._fn(mem_write, update_sensory, pads, donate, masked)
+        out = fn(frames, do_write, self.num_obj, self.key, self.shr,
+                 self.value, jnp.asarray(self.sizes), self.rowmaps,
                  jnp.asarray(self.rowcnt), self.sensory, self.last_mask,
                  self.variables)
         probs, self.sensory, last_mask, key, shr, value = out
@@ -270,20 +300,28 @@ class BatchedDetectionPropagator:
             self.last_mask = last_mask
         if mem_write:
             self.key, self.shr, self.value = key, shr, value
-            # every REAL slot received one frame of tokens
-            self.sizes = self.sizes + hw * (self.rowcnt > 0)
+            # every REAL slot of every writing video received one frame
+            writers = np.ones((len(self.cores),), bool) if not masked \
+                else np.asarray(write_mask)
+            self.sizes = self.sizes + hw * (writers[:, None] &
+                                            (self.rowcnt > 0))
         return probs
 
     def step_all(self, frames, end: bool = False) -> jnp.ndarray:
         """One lockstep propagation frame for every video; same semantics as
-        per-video core.step(image, None, None, end=end). Returns
-        probabilities [B, 1 + o_cap, H, W] (live channels first)."""
-        self.curr_ti += 1
-        is_mem = (self.curr_ti - self.last_mem_ti >= self.cfg.mem_every) \
-            and not end
-        probs = self._launch(frames, is_mem, not end)
-        if is_mem:
-            self.last_mem_ti = self.curr_ti
+        per-video core.step(image, None, None, end=end). Videos whose memory
+        cadences have diverged (different last_mem_ti) write independently
+        via a masked launch. Returns probabilities [B, 1 + o_cap, H, W]
+        (live channels first)."""
+        self.curr_ti = self.curr_ti + 1
+        is_mem = ((self.curr_ti - self.last_mem_ti >= self.cfg.mem_every)
+                  & (not end))
+        if is_mem.all() or not is_mem.any():
+            probs = self._launch(frames, bool(is_mem.all()), not end)
+        else:
+            probs = self._launch(frames, True, not end,
+                                 write_mask=is_mem)
+        self.last_mem_ti = np.where(is_mem, self.curr_ti, self.last_mem_ti)
         return probs
 
     def forward_probs(self, frames) -> np.ndarray:

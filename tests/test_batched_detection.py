@@ -187,3 +187,86 @@ def test_batched_detection_state_roundtrip():
         assert int(b.size) == s0 and list(b.obj_ids) == ids0
         np.testing.assert_array_equal(np.asarray(b.key)[:s0], k0[:s0])
     np.testing.assert_array_equal(np.asarray(core.memory.sensory), sensory0)
+
+
+def test_masked_writes_diverged_cadence():
+    """Videos whose memory-write schedules have diverged (one video's extra
+    detection reset its cadence, reference:inference_core.py:232-234) step
+    through MASKED-write launches: each video writes at its own cadence
+    inside the shared batch, matching the sequential flow."""
+    model = DEVANetwork(ModelConfig())
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)),
+                           jnp.zeros((1, 1, 32, 32)),
+                           jnp.zeros((1, 1, 2, 2, 512)))
+    cfg = InferenceConfig(mem_every=3, top_k=8, enable_long_term=False,
+                          max_missed_detection_count=3, topk_method="exact")
+    t = 7
+    extra_det_ti = 2  # video 0 only: resets its cadence mid-run
+    rng = np.random.default_rng(31)
+    vids = [_video(rng, t), _video(rng, t)]
+
+    def run_one_sequential(vi):
+        frames, det_masks, det_infos = vids[vi]
+        core = InferenceCore(model, variables, cfg)
+        core.enabled_long_id()
+        probs = []
+        for ti in range(t):
+            if ti == 0 or (vi == 0 and ti == extra_det_ti):
+                p = core.incorporate_detection(frames[ti], det_masks[ti],
+                                               _segs(det_infos[ti]))
+            else:
+                p = core.step(frames[ti], None, None)
+            probs.append(np.asarray(p))
+        return probs, core
+
+    seq = [run_one_sequential(vi) for vi in range(2)]
+
+    cores = []
+    for frames, det_masks, det_infos in vids:
+        core = InferenceCore(model, variables, cfg)
+        core.enabled_long_id()
+        core.incorporate_detection(frames[0], det_masks[0],
+                                   _segs(det_infos[0]))
+        cores.append(core)
+    bp = BatchedDetectionPropagator(model, variables, cfg)
+    bp.attach(cores)
+    got = [[np.asarray(seq[vi][0][0])] for vi in range(2)]
+    for ti in range(1, t):
+        if ti == extra_det_ti:
+            # mixed event: video 0 incorporates, video 1 plain-steps —
+            # both through their own cores, then re-attach
+            bp.detach()
+            p0 = cores[0].incorporate_detection(
+                vids[0][0][ti], vids[0][1][ti], _segs(vids[0][2][ti]))
+            p1 = cores[1].step(vids[1][0][ti], None, None)
+            got[0].append(np.asarray(p0))
+            got[1].append(np.asarray(p1))
+            bp.attach(cores)
+        else:
+            probs = bp.step_all([v[0][ti] for v in vids])
+            for vi in range(2):
+                n = cores[vi].object_manager.num_obj
+                got[vi].append(np.asarray(probs[vi][:n + 1]))
+    bp.detach()
+
+    # the diverged schedules really produced masked-write launches
+    assert any(k[-1] for k in bp._fns), "no masked-write variant compiled"
+    for vi in range(2):
+        sc = seq[vi][1]
+        assert cores[vi].last_mem_ti == sc.last_mem_ti, vi
+        s_b = {bid: (b.size, len(b.obj_ids))
+               for bid, b in sc.memory.buckets.items()}
+        b_b = {bid: (b.size, len(b.obj_ids))
+               for bid, b in cores[vi].memory.buckets.items()}
+        assert s_b == b_b, (vi, s_b, b_b)
+        for ti in range(t):
+            r, o = seq[vi][0][ti], got[vi][ti]
+            assert r.shape == o.shape, (vi, ti, r.shape, o.shape)
+            budget = 0.02 if ti < 6 else 0.05
+            bad = (np.abs(o - r) > 5e-3).any(axis=0)
+            assert bad.mean() <= budget, \
+                f"video {vi} frame {ti}: {bad.mean():.2%} pixels differ"
+            flips = o.argmax(0) != r.argmax(0)
+            assert flips.mean() <= budget, \
+                f"video {vi} frame {ti}: argmax {flips.mean():.2%}"
