@@ -172,6 +172,19 @@ class VideoReader:
     def get_palette(self):
         return self.palette
 
+    def mask_frame_indices(self) -> List[int]:
+        """Indices whose __getitem__ would carry a mask, WITHOUT decoding
+        anything (file-existence probe). Lets drivers plan lockstep batching
+        around mid-stream mask arrivals up front."""
+        cand = [i for i, f in enumerate(self.frames)
+                if self.use_all_masks or
+                f[:-4] == self.first_mask_frame[:-4]]
+        if self.segmentation_from_dict is not None or self.soft_mask:
+            return cand
+        return [i for i in cand
+                if path.exists(path.join(self.mask_dir,
+                                         self.frames[i][:-4] + ".png"))]
+
     def __len__(self):
         return len(self.frames)
 

@@ -155,6 +155,110 @@ def run_group(model, variables, cfg, readers, out_path, save_all=False):
     return n + len(readers)
 
 
+def lt_safe_write_bound(n_frames: int, first_mask_ti: int, n_mask_frames: int,
+                        cfg) -> bool:
+    """True when long-term consolidation provably never fires for this video:
+    an upper bound on its memory writes stays below max_mid_term_frames (the
+    trigger is bucket size >= max_mid_term_frames * HW tokens,
+    reference:deva/inference/memory_manager.py:207-218). Cadence writes are
+    bounded by floor(steps / mem_every); every mask frame forces one write
+    and resets the cadence (reference:inference_core.py:232-234), which only
+    removes cadence writes — so the sum is a safe overestimate. Below the
+    trigger, LT-on and LT-off propagation are identical (usage counting does
+    not enter the readout), so such videos may run on the LT-off batched
+    path with exact parity (tested: tests/test_batched_midstream.py)."""
+    if not cfg.enable_long_term:
+        return True
+    steps = n_frames - 1 - first_mask_ti
+    bound = steps // cfg.mem_every + n_mask_frames
+    return bound < cfg.max_mid_term_frames
+
+
+def run_group_midstream(model, variables, cfg, readers, out_path,
+                        save_all=False):
+    """Lockstep a group of same-resolution videos whose ground-truth masks
+    arrive mid-stream (YouTubeVOS-style object introduction). Plain
+    propagation frames run as ONE masked-write batched launch per tick
+    (per-video memory cadences — a mask insertion resets a video's
+    schedule); ticks where any video receives a mask run sequentially
+    through the per-video reference path (merge + forced write + possible
+    new bucket), then the group re-attaches. cfg must have long-term memory
+    OFF (callers route only videos where lt_safe_write_bound holds, so this
+    is output-equivalent to the LT-on sequential path)."""
+    from deva_tpu.inference.batched_detection import \
+        BatchedDetectionPropagator
+
+    b = len(readers)
+    cores = [InferenceCore(model, variables, cfg) for _ in range(b)]
+    bp = BatchedDetectionPropagator(model, variables, cfg)
+    lengths = [len(r) for r in readers]
+    max_len = max(lengths)
+    started = [False] * b
+    last = [None] * b
+    attached = []
+    n = 0
+
+    def save(vi, d, prob):
+        info = d["info"]
+        if save_all or info["save"]:
+            save_frame(out_path, readers[vi].vid_name, info["frame"], prob,
+                       cores[vi].object_manager, readers[vi].get_palette(),
+                       tuple(info["shape"]), info["need_resize"])
+
+    with contextlib.ExitStack() as stack:
+        iters = [iter(stack.enter_context(Prefetcher(r, start=0)))
+                 for r in readers]
+        for ti in range(max_len):
+            datas = [next(iters[vi], None) if ti < lengths[vi] else None
+                     for vi in range(b)]
+            for vi, d in enumerate(datas):
+                if d is not None:
+                    last[vi] = d["rgb"]
+            events = [vi for vi, d in enumerate(datas)
+                      if d is not None and d.get("mask") is not None]
+            if events:
+                # mask ticks: per-video reference path (merge / new bucket /
+                # forced write); non-event started videos step through their
+                # cores too so every clock advances exactly once
+                if attached:
+                    bp.detach()
+                    attached = []
+                for vi in range(b):
+                    d = datas[vi]
+                    if d is None or (vi not in events and not started[vi]):
+                        continue
+                    mask = d.get("mask") if vi in events else None
+                    labels = [int(v) for v in d["valid_labels"]] \
+                        if vi in events else None
+                    prob = cores[vi].step(d["rgb"], mask, labels,
+                                          end=(ti == lengths[vi] - 1))
+                    started[vi] = True
+                    n += 1
+                    save(vi, d, prob)
+                continue
+
+            active = [vi for vi in range(b) if started[vi]]
+            if not active:
+                continue
+            if attached != active:
+                if attached:
+                    bp.detach()
+                bp.attach([cores[vi] for vi in active])
+                attached = active
+            probs = bp.step_all([last[vi] for vi in active],
+                                end=(ti == max_len - 1))
+            for bi, vi in enumerate(active):
+                d = datas[vi]
+                if d is None:
+                    continue  # replayed past this video's end; discard
+                n += 1
+                no = cores[vi].object_manager.num_obj
+                save(vi, d, probs[bi][:no + 1])
+        if attached:
+            bp.detach()
+    return n
+
+
 def main():
     parser = ArgumentParser()
     parser.add_argument("--d16_path", default="../DAVIS/2016")
@@ -198,26 +302,37 @@ def main():
     else:
         raise NotImplementedError(args.dataset)
 
-    # pass 1: probe frame 0 of each video to build lockstep group keys
+    # pass 1: probe each video's mask schedule (file existence, no decode)
+    # to build lockstep group keys
     groups = {}
+    mid_groups = {}
     sequential = []
     readers = list(meta_dataset.get_datasets())
     for r in readers:
+        mask_tis = r.mask_frame_indices()
+        if not mask_tis:
+            sequential.append(r)  # no reachable mask: nothing to propagate
+            continue
         d0 = r[0]
         mask0 = d0.get("mask")
-        if mask0 is None or (args.use_all_masks and len(r) > 1):
-            # first mask arrives later, or more masks may arrive mid-stream:
-            # lockstep cannot host mid-stream insertion
-            sequential.append(r)
+        if mask0 is not None and mask_tis == [0]:
+            count_usage = (base_cfg.enable_long_term and (
+                len(r) / (base_cfg.max_mid_term_frames -
+                          base_cfg.min_mid_term_frames) *
+                base_cfg.num_prototypes) >= base_cfg.max_long_term_elements)
+            n_obj = len(d0["valid_labels"])
+            key = (tuple(np.asarray(d0["rgb"]).shape),
+                   base_cfg.pad_objects(n_obj), count_usage)
+            groups.setdefault(key, []).append(r)
             continue
-        count_usage = (base_cfg.enable_long_term and (
-            len(r) / (base_cfg.max_mid_term_frames -
-                      base_cfg.min_mid_term_frames) *
-            base_cfg.num_prototypes) >= base_cfg.max_long_term_elements)
-        n_obj = len(d0["valid_labels"])
-        key = (tuple(np.asarray(d0["rgb"]).shape),
-               base_cfg.pad_objects(n_obj), count_usage)
-        groups.setdefault(key, []).append(r)
+        # mid-stream mask arrivals (YouTubeVOS-style): batchable on the
+        # multi-bucket masked-write path when long-term consolidation
+        # provably never fires (exact LT-on parity); else sequential
+        if lt_safe_write_bound(len(r), mask_tis[0], len(mask_tis), base_cfg):
+            mid_groups.setdefault(tuple(np.asarray(d0["rgb"]).shape),
+                                  []).append(r)
+        else:
+            sequential.append(r)
 
     start_profile(args.profile)
     total_frames = 0
@@ -233,6 +348,19 @@ def main():
             with video_fault_barrier(", ".join(names), args.raise_on_error):
                 total_frames += run_group(model, variables, cfg, chunk,
                                           out_path, args.save_all)
+    mid_cfg = dataclasses.replace(base_cfg, enable_long_term=False)
+    for shape, rs in sorted(mid_groups.items(), key=str):
+        for i in range(0, len(rs), args.batch):
+            chunk = rs[i:i + args.batch]
+            if len(chunk) == 1:
+                sequential.append(chunk[0])
+                continue
+            names = [r.vid_name for r in chunk]
+            print(f"mid-stream group {shape}: {names}")
+            with video_fault_barrier(", ".join(names), args.raise_on_error):
+                total_frames += run_group_midstream(
+                    model, variables, mid_cfg, chunk, out_path,
+                    args.save_all)
     for r in sequential:
         count_usage = (base_cfg.enable_long_term and (
             len(r) / (base_cfg.max_mid_term_frames -

@@ -42,6 +42,7 @@ _SLOW_MODULES = {
     "test_topk_drift", "test_metrics",
     # multi-frame driver / propagation suites
     "test_batched", "test_batched_driver", "test_batched_detection",
+    "test_batched_midstream",
     "test_batched_detection_driver",
     "test_step_chunk",
     "test_replay_detector", "test_ext_processors", "test_drivers_smoke",
