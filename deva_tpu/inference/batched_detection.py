@@ -1,4 +1,5 @@
-"""Lockstep multi-video stepping for the detection-fusion pipeline.
+"""Lockstep multi-video stepping for multi-bucket videos (detection fusion
+and mid-stream VOS), with long-term memory.
 
 The reference's detection-driven eval is strictly single-stream
 (reference:evaluation/eval_with_detections.py:205-265): per video, the
@@ -10,19 +11,27 @@ propagation frames and the forward prediction `_segment` inside
 vmapped launch; only consensus/ILP/match-and-merge (host work + per-video
 model calls at a 1-in-detection_every cadence) stay sequential.
 
-Unlike the VOS-style BatchedPropagator (one bucket per video), detection
-videos hold MULTI-BUCKET memory: objects first seen at different detections
-share separate top-k normalization sets (reference:deva/inference/
+Unlike the VOS-style BatchedPropagator (one bucket per video), these videos
+hold MULTI-BUCKET memory: objects first seen at different detections share
+separate top-k normalization sets (reference:deva/inference/
 kv_memory_store.py:10-33). Here each video's buckets are stacked into
 fixed-shape SLOT arrays [S, cap, ...] (S = padded bucket count); the
 vmapped per-frame body attends each slot against the shared queries with
 its own validity window and scatters per-slot readout rows into the global
 object rows — identical math to MemoryEngine.match_memory, batched.
 
-Scope: long-term memory OFF (the eval driver falls back to the sequential
-path for videos that enable it — same scoping as eval_vos_batched's
-mid-stream-mask fallback). State is attached from / detached to ordinary
-per-video InferenceCores, so the detection steps (consensus, incorporate)
+Long-term memory stacks the same way: per-slot LT rings [S, lcap, ...]
+with per-(video, slot) sizes; every read attends [LT ; work] concatenated
+per slot and accrues usage, and consolidation runs host-side in lockstep
+over whichever (video, slot) pairs hit the trigger — sizes advance in
+whole-frame quanta, so every triggered pair sits at exactly
+max_work_tokens and the prototype windows stack uniformly
+(reference:deva/inference/memory_manager.py:207-276 under batching).
+
+Memory-write schedules may diverge across the batch (a mid-stream mask or
+detection resets that video's cadence): per-video curr_ti/last_mem_ti
+clocks drive MASKED write launches (see _body). State is attached from /
+detached to ordinary per-video InferenceCores, so detection/mask events
 run the reference-parity single-video code in between.
 """
 from __future__ import annotations
@@ -35,7 +44,8 @@ import numpy as np
 
 from deva_tpu.config import InferenceConfig
 from deva_tpu.inference.core import InferenceCore
-from deva_tpu.inference.memory import _round_up
+from deva_tpu.inference.memory import (LongTermBucket,
+                                       _consolidate_prototypes, _round_up)
 from deva_tpu.models.network import DEVANetwork
 from deva_tpu.ops.pad import pad_amounts
 
@@ -50,25 +60,26 @@ def _slot_bucket(n: int) -> int:
 class BatchedDetectionPropagator:
     def __init__(self, model: DEVANetwork, variables,
                  config: InferenceConfig):
-        assert not config.enable_long_term, (
-            "batched detection stepping is scoped to long-term OFF; route "
-            "LT videos through the sequential path")
         self.model = model
         self.variables = variables
         self.cfg = config
+        self.use_lt = config.enable_long_term
+        self.count_lt_usage = (config.enable_long_term and
+                               config.enable_long_term_count_usage)
         self._fns: Dict = {}
 
     # -- stacking ----------------------------------------------------------
 
     def attach(self, cores: Sequence[InferenceCore]) -> None:
         """Stack the cores' multi-bucket state. Every core must be engaged
-        (first detection incorporated) and share one padded resolution."""
+        (first detection/mask incorporated) and share one padded
+        resolution."""
         self.cores = list(cores)
         b = len(cores)
         assert b > 0
         for c in cores:
             assert c.memory is not None and c.memory.engaged
-            assert not c.memory.long_buckets
+            assert c.memory.use_long_term == self.use_lt
         self.o_cap = max(c.o_cap for c in cores)
         n_slots = _slot_bucket(max(len(c.memory.buckets) for c in cores))
         self.n_slots = n_slots
@@ -78,13 +89,15 @@ class BatchedDetectionPropagator:
         self.hw = cores[0].memory.hw
         cap = _round_up(cap, self.hw)
         ck, cv = cores[0].memory.ck, cores[0].memory.cv
+        self._ck, self._cv = ck, cv
         dt = list(cores[0].memory.buckets.values())[0].key.dtype
+        self._ring_dtype = dt
 
-        keys = np.zeros((b, n_slots), object)
         self.sizes = np.zeros((b, n_slots), np.int64)
         self.rowcnt = np.zeros((b, n_slots), np.int64)
         rowmaps = np.zeros((b, n_slots, self.o_slot), np.int64)
         key_l, shr_l, val_l, sen_l, lm_l, nobj = [], [], [], [], [], []
+        sel_l, use_l, life_l = [], [], []
         self._slot_bids: List[List[int]] = []
         for vi, c in enumerate(cores):
             obj_rows = {o.id: t - 1
@@ -92,6 +105,10 @@ class BatchedDetectionPropagator:
             ks = jnp.zeros((n_slots, cap, ck), dt)
             ss = jnp.zeros((n_slots, cap), dt)
             vs = jnp.zeros((n_slots, cap, self.o_slot, cv), dt)
+            if self.use_lt:
+                sl = jnp.zeros((n_slots, cap, ck), dt)
+                us = jnp.zeros((n_slots, cap), jnp.float32)
+                lf = jnp.zeros((n_slots, cap), jnp.float32)
             bids = sorted(c.memory.buckets.keys())
             self._slot_bids.append(bids)
             for si, bid in enumerate(bids):
@@ -99,6 +116,10 @@ class BatchedDetectionPropagator:
                 ks = ks.at[si, :bk.cap].set(bk.key)
                 ss = ss.at[si, :bk.cap].set(bk.shrinkage)
                 vs = vs.at[si, :bk.cap, :bk.o_cap].set(bk.value)
+                if self.use_lt:
+                    sl = sl.at[si, :bk.cap].set(bk.selection)
+                    us = us.at[si, :bk.cap].set(bk.use_cnt)
+                    lf = lf.at[si, :bk.cap].set(bk.life_cnt)
                 self.sizes[vi, si] = bk.size
                 self.rowcnt[vi, si] = len(bk.obj_ids)
                 rowmaps[vi, si, :len(bk.obj_ids)] = [obj_rows[o]
@@ -106,6 +127,10 @@ class BatchedDetectionPropagator:
             key_l.append(ks)
             shr_l.append(ss)
             val_l.append(vs)
+            if self.use_lt:
+                sel_l.append(sl)
+                use_l.append(us)
+                life_l.append(lf)
             pad_o = self.o_cap - c.memory.sensory.shape[0]
             sen_l.append(jnp.pad(c.memory.sensory,
                                  ((0, pad_o), (0, 0), (0, 0), (0, 0))))
@@ -128,6 +153,40 @@ class BatchedDetectionPropagator:
         self.curr_ti = np.asarray([c.curr_ti for c in cores], np.int64)
         self.last_mem_ti = np.asarray([c.last_mem_ti for c in cores],
                                       np.int64)
+        if self.use_lt:
+            self.sel = jnp.stack(sel_l)
+            self.use_cnt = jnp.stack(use_l)
+            self.life_cnt = jnp.stack(life_l)
+            self.lt_sizes = np.zeros((b, n_slots), np.int64)
+            lcap = self.cfg.num_prototypes
+            for vi, c in enumerate(cores):
+                for si, bid in enumerate(self._slot_bids[vi]):
+                    lt = c.memory.long_buckets.get(bid)
+                    if lt is not None:
+                        self.lt_sizes[vi, si] = lt.size
+                        lcap = max(lcap, lt.cap)
+            lcap = _round_up(lcap, self.cfg.num_prototypes)
+            self.lt_key = jnp.zeros((b, n_slots, lcap, ck), dt)
+            self.lt_shr = jnp.zeros((b, n_slots, lcap), dt)
+            self.lt_value = jnp.zeros((b, n_slots, lcap, self.o_slot, cv),
+                                      dt)
+            self.lt_use = jnp.zeros((b, n_slots, lcap), jnp.float32)
+            self.lt_life = jnp.zeros((b, n_slots, lcap), jnp.float32)
+            for vi, c in enumerate(cores):
+                for si, bid in enumerate(self._slot_bids[vi]):
+                    lt = c.memory.long_buckets.get(bid)
+                    if lt is None:
+                        continue
+                    self.lt_key = self.lt_key.at[vi, si, :lt.cap].set(lt.key)
+                    self.lt_shr = self.lt_shr.at[vi, si, :lt.cap].set(
+                        lt.shrinkage)
+                    self.lt_value = self.lt_value.at[
+                        vi, si, :lt.cap, :lt.o_cap].set(lt.value)
+                    if lt.use_cnt is not None:
+                        self.lt_use = self.lt_use.at[vi, si, :lt.cap].set(
+                            lt.use_cnt)
+                        self.lt_life = self.lt_life.at[vi, si, :lt.cap].set(
+                            lt.life_cnt)
 
     def detach(self) -> None:
         """Write the advanced stacked state back into the per-video cores
@@ -144,11 +203,47 @@ class BatchedDetectionPropagator:
                 bk = c.memory.buckets[bid]
                 need = int(self.sizes[vi, si])
                 if need > bk.cap:
-                    bk.ensure_capacity(need - bk.size, self.hw)
+                    bk.ensure_capacity(need - bk.size, self.hw,
+                                       limit=(c.memory.max_work_tokens
+                                              if self.use_lt else None))
                 bk.key = fit(self.key[vi, si], bk.cap)
                 bk.shrinkage = fit(self.shr[vi, si], bk.cap)
                 bk.value = fit(self.value[vi, si, :, :bk.o_cap], bk.cap)
                 bk.size = need
+                if self.use_lt:
+                    bk.selection = fit(self.sel[vi, si], bk.cap)
+                    bk.use_cnt = fit(self.use_cnt[vi, si], bk.cap)
+                    bk.life_cnt = fit(self.life_cnt[vi, si], bk.cap)
+                    lt_size = int(self.lt_sizes[vi, si])
+                    lt = c.memory.long_buckets.get(bid)
+                    if lt is None and lt_size > 0:
+                        p = self.cfg.num_prototypes
+                        lt = LongTermBucket(
+                            bk.obj_ids, bk.o_cap, _round_up(lt_size, p),
+                            self._ck, self._cv,
+                            save_usage=self.count_lt_usage,
+                            dtype=self._ring_dtype)
+                        c.memory.long_buckets[bid] = lt
+                    if lt is not None:
+                        if lt_size > lt.cap:
+                            p = self.cfg.num_prototypes
+                            grow = _round_up(lt_size, p) - lt.cap
+                            pad2 = ((0, grow),)
+                            lt.key = jnp.pad(lt.key, pad2 + ((0, 0),))
+                            lt.shrinkage = jnp.pad(lt.shrinkage, pad2)
+                            lt.value = jnp.pad(lt.value,
+                                               pad2 + ((0, 0), (0, 0)))
+                            if lt.use_cnt is not None:
+                                lt.use_cnt = jnp.pad(lt.use_cnt, pad2)
+                                lt.life_cnt = jnp.pad(lt.life_cnt, pad2)
+                        lt.key = fit(self.lt_key[vi, si], lt.cap)
+                        lt.shrinkage = fit(self.lt_shr[vi, si], lt.cap)
+                        lt.value = fit(self.lt_value[vi, si, :, :lt.o_cap],
+                                       lt.cap)
+                        if lt.use_cnt is not None:
+                            lt.use_cnt = fit(self.lt_use[vi, si], lt.cap)
+                            lt.life_cnt = fit(self.lt_life[vi, si], lt.cap)
+                        lt.size = lt_size
             c.memory.update_sensory(self.sensory[vi, :c.o_cap])
             c.last_mask = self.last_mask[vi, :c.o_cap]
             c.curr_ti = int(self.curr_ti[vi])
@@ -168,6 +263,8 @@ class BatchedDetectionPropagator:
         side) and the deep-vs-shallow sensory select depend on the flag."""
         model = self.model
         cfg = self.cfg
+        use_lt = self.use_lt
+        count_lt = self.count_lt_usage
         from deva_tpu.inference.fused_step import FusedStepper
         if not hasattr(self, "_stepper"):
             self._stepper = FusedStepper(model, cfg.top_k,
@@ -178,8 +275,9 @@ class BatchedDetectionPropagator:
             assert mem_write and update_sensory, \
                 "masked writes only arise on non-end frames with a writer"
 
-        def fn(image, do_write, num_obj, keys, shrs, values, sizes, rowmaps,
-               rowcnt, sensory, last_mask, variables):
+        def fn(image, do_write, num_obj, keys, shrs, sels, values, use,
+               life, lt_keys, lt_shrs, lt_values, lt_use, lt_life, sizes,
+               lt_sizes, rowmaps, rowcnt, sensory, last_mask, variables):
             lw, uw, lh, uh = pads
             padded = jnp.pad(image, ((lh, uh), (lw, uw), (0, 0)))[None]
             ms, key_feat = model.apply(variables, padded,
@@ -195,10 +293,30 @@ class BatchedDetectionPropagator:
             out = jnp.zeros((o_cap, hq * wq, values.shape[-1]), jnp.float32)
             for s in range(n_slots):
                 # empty slots attend over a 1-token window (no NaNs) and
-                # scatter zero rows
+                # scatter zero rows; usage accrues only on truly valid
+                # tokens (arange < size, not the 1-token floor)
                 valid = jnp.arange(cap) < jnp.maximum(sizes[s], 1)
-                rd = stepper._attend(keys[s], shrs[s], values[s], valid,
-                                     qk, qe, want_usage=False)
+                if use_lt:
+                    lcap = lt_keys.shape[1]
+                    lt_valid = jnp.arange(lcap) < lt_sizes[s]
+                    rd, usage = stepper._attend(
+                        jnp.concatenate([lt_keys[s], keys[s]], 0),
+                        jnp.concatenate([lt_shrs[s], shrs[s]], 0),
+                        jnp.concatenate([lt_values[s], values[s]], 0),
+                        jnp.concatenate([lt_valid, valid]),
+                        qk, qe, want_usage=True)
+                    valid_w = jnp.arange(cap) < sizes[s]
+                    use = use.at[s].add(
+                        jnp.where(valid_w, usage[lcap:], 0.0))
+                    life = life.at[s].add(jnp.where(valid_w, 1.0, 0.0))
+                    if count_lt:
+                        lt_use = lt_use.at[s].add(
+                            jnp.where(lt_valid, usage[:lcap], 0.0))
+                        lt_life = lt_life.at[s].add(
+                            jnp.where(lt_valid, 1.0, 0.0))
+                else:
+                    rd = stepper._attend(keys[s], shrs[s], values[s], valid,
+                                         qk, qe, want_usage=False)
                 rmask = (jnp.arange(values.shape[2]) < rowcnt[s])
                 rd = jnp.where(rmask[:, None, None],
                                rd.astype(jnp.float32), 0.0)
@@ -241,10 +359,19 @@ class BatchedDetectionPropagator:
                     values = values.at[s].set(jax.lax.dynamic_update_slice(
                         values[s], vals.astype(values.dtype),
                         (sizes[s], 0, 0)))
+                    if use_lt:
+                        sels = sels.at[s].set(jax.lax.dynamic_update_slice(
+                            sels[s], qe.astype(sels.dtype), (sizes[s], 0)))
+                        zeros = jnp.zeros((hq * wq,), jnp.float32)
+                        use = use.at[s].set(jax.lax.dynamic_update_slice(
+                            use[s], zeros, (sizes[s],)))
+                        life = life.at[s].set(jax.lax.dynamic_update_slice(
+                            life[s], zeros + 1e-7, (sizes[s],)))
 
             h, w = image.shape[:2]
             prob_out = prob[0, :, lh:lh + h, lw:lw + w]
-            return (prob_out, new_sensory, new_last_mask, keys, shrs, values)
+            return (prob_out, new_sensory, new_last_mask, keys, shrs, sels,
+                    values, use, life, lt_use, lt_life)
 
         return fn
 
@@ -255,9 +382,18 @@ class BatchedDetectionPropagator:
         if keyk not in self._fns:
             body = self._body(self.n_slots, mem_write, update_sensory, pads,
                               masked_write)
-            axes = (0,) * 11 + (None,)
-            dn = ((9, 10) + ((3, 4, 5) if mem_write else ())) if donate \
-                else ()
+            axes = (0,) * 20 + (None,)
+            dn = ()
+            if donate:
+                dn = (18, 19)                       # sensory, last_mask
+                if mem_write:
+                    dn += (3, 4, 6)                 # keys, shrs, values
+                    if self.use_lt:
+                        dn += (5,)                  # sels
+                if self.use_lt:
+                    dn += (7, 8)                    # use, life
+                    if self.count_lt_usage:
+                        dn += (12, 13)              # lt_use, lt_life
             self._fns[keyk] = jax.jit(
                 jax.vmap(body, in_axes=axes),
                 donate_argnums=tuple(sorted(dn)))
@@ -270,10 +406,24 @@ class BatchedDetectionPropagator:
         cap = self.key.shape[2]
         if need > cap:
             grow = _round_up(need, self.hw) - cap
-            self.key = jnp.pad(self.key, ((0, 0), (0, 0), (0, grow), (0, 0)))
-            self.shr = jnp.pad(self.shr, ((0, 0), (0, 0), (0, grow)))
-            self.value = jnp.pad(self.value,
-                                 ((0, 0), (0, 0), (0, grow), (0, 0), (0, 0)))
+            pad3 = ((0, 0), (0, 0), (0, grow))
+            self.key = jnp.pad(self.key, pad3 + ((0, 0),))
+            self.shr = jnp.pad(self.shr, pad3)
+            self.value = jnp.pad(self.value, pad3 + ((0, 0), (0, 0)))
+            if self.use_lt:
+                self.sel = jnp.pad(self.sel, pad3 + ((0, 0),))
+                self.use_cnt = jnp.pad(self.use_cnt, pad3)
+                self.life_cnt = jnp.pad(self.life_cnt, pad3)
+
+    def _lt_args(self):
+        b = len(self.cores)
+        if self.use_lt:
+            return (self.sel, self.use_cnt, self.life_cnt, self.lt_key,
+                    self.lt_shr, self.lt_value, self.lt_use, self.lt_life,
+                    jnp.asarray(self.lt_sizes))
+        z = jnp.zeros((b, self.n_slots, 0))
+        return (z, z, z, z, z, z, z, z,
+                jnp.zeros((b, self.n_slots), jnp.int32))
 
     def _launch(self, frames, mem_write: bool, update_sensory: bool,
                 keep_last_mask: bool = True, donate: bool = True,
@@ -290,16 +440,25 @@ class BatchedDetectionPropagator:
             self._reserve(hw)
         do_write = jnp.ones((frames.shape[0],), bool) if not masked \
             else jnp.asarray(write_mask)
+        sel, use, life, ltk, lts, ltv, ltu, ltl, lt_sizes = self._lt_args()
         fn = self._fn(mem_write, update_sensory, pads, donate, masked)
-        out = fn(frames, do_write, self.num_obj, self.key, self.shr,
-                 self.value, jnp.asarray(self.sizes), self.rowmaps,
+        out = fn(frames, do_write, self.num_obj, self.key, self.shr, sel,
+                 self.value, use, life, ltk, lts, ltv, ltu, ltl,
+                 jnp.asarray(self.sizes), lt_sizes, self.rowmaps,
                  jnp.asarray(self.rowcnt), self.sensory, self.last_mask,
                  self.variables)
-        probs, self.sensory, last_mask, key, shr, value = out
+        (probs, self.sensory, last_mask, key, shr, sel, value, use, life,
+         lt_use, lt_life) = out
         if keep_last_mask:
             self.last_mask = last_mask
+        if self.use_lt:
+            self.use_cnt, self.life_cnt = use, life
+            if self.count_lt_usage:
+                self.lt_use, self.lt_life = lt_use, lt_life
         if mem_write:
             self.key, self.shr, self.value = key, shr, value
+            if self.use_lt:
+                self.sel = sel
             # every REAL slot of every writing video received one frame
             writers = np.ones((len(self.cores),), bool) if not masked \
                 else np.asarray(write_mask)
@@ -322,6 +481,8 @@ class BatchedDetectionPropagator:
             probs = self._launch(frames, True, not end,
                                  write_mask=is_mem)
         self.last_mem_ti = np.where(is_mem, self.curr_ti, self.last_mem_ti)
+        if is_mem.any():
+            self._maybe_consolidate()
         return probs
 
     def forward_probs(self, frames) -> np.ndarray:
@@ -334,3 +495,144 @@ class BatchedDetectionPropagator:
         probs = self._launch(frames, mem_write=False, update_sensory=True,
                              keep_last_mask=False, donate=False)
         return np.asarray(probs)
+
+    # -- long-term consolidation (host-orchestrated, rare) ------------------
+
+    def _maybe_consolidate(self) -> None:
+        """Consolidate every (video, slot) whose working ring hit the
+        trigger. All writes advance in whole-frame (hw) quanta and the check
+        runs after every write, so every triggered pair sits at exactly
+        max_work_tokens and the candidate windows stack uniformly. Mirrors
+        MemoryEngine.maybe_consolidate/_compress/_evict_obsolete
+        (reference:deva/inference/memory_manager.py:207-276,
+        kv_memory_store.py:127-185) with the prototype math vmapped over
+        triggered pairs."""
+        if not self.use_lt:
+            return
+        cfg = self.cfg
+        hw = self.hw
+        max_work = cfg.max_mid_term_frames * hw
+        min_work = cfg.min_mid_term_frames * hw
+        trig = [(vi, si)
+                for vi in range(len(self.cores))
+                for si in range(self.n_slots)
+                if self.rowcnt[vi, si] > 0
+                and self.sizes[vi, si] >= max_work
+                and self.sizes[vi, si] > min_work + hw]
+        if not trig:
+            return
+        sizes = {self.sizes[vi, si] for vi, si in trig}
+        assert sizes == {max_work}, \
+            f"triggered pairs must sit at max_work_tokens, got {sizes}"
+
+        # usage-based eviction for pairs whose LT ring is at the cap
+        limit = cfg.max_long_term_elements - cfg.num_prototypes
+        evict = [(vi, si) for vi, si in trig
+                 if self.lt_sizes[vi, si] >= limit]
+        if evict:
+            # without LT usage counting every token's usage is 0 and the
+            # strictly-greater threshold would silently evict the ENTIRE
+            # long-term ring (reference:memory_manager.py:211-216 requires
+            # counting before eviction is meaningful)
+            assert self.count_lt_usage, (
+                "long-term memory saturated but enable_long_term_count_usage"
+                " is False; enable it (the reference's long-video policy) so"
+                " eviction has usage statistics to rank tokens by")
+            self._evict_obsolete(evict, limit)
+
+        size = max_work
+        start, end = hw, size - min_work + hw
+        vis = np.asarray([vi for vi, _ in trig])
+        sis = np.asarray([si for _, si in trig])
+        usage = self.use_cnt / self.life_cnt
+        proto_key, proto_shr, proto_value = jax.vmap(
+            lambda k, s, e, v, u: _consolidate_prototypes(
+                k, s, e, v, u, num_prototypes=cfg.num_prototypes))(
+            self.key[vis, sis, start:end], self.shr[vis, sis, start:end],
+            self.sel[vis, sis, start:end], self.value[vis, sis, start:end],
+            usage[vis, sis, start:end])
+
+        # sieve the triggered pairs: keep [0:start] + [end:size], in place
+        # via a per-pair gather (untouched pairs keep the identity order)
+        cap = self.key.shape[2]
+        order = np.tile(np.arange(cap), (len(self.cores), self.n_slots, 1))
+        sieved = np.concatenate([np.arange(start), np.arange(end, size),
+                                 np.arange(size - (end - start), size),
+                                 np.arange(size, cap)])
+        order[vis, sis] = sieved
+
+        def gather(a):
+            idx = jnp.asarray(order, jnp.int32)
+            ix = idx.reshape(idx.shape + (1,) * (a.ndim - 3))
+            return jnp.take_along_axis(a, ix, axis=2)
+
+        self.key = gather(self.key)
+        self.shr = gather(self.shr)
+        self.sel = gather(self.sel)
+        self.value = gather(self.value)
+        self.use_cnt = gather(self.use_cnt)
+        self.life_cnt = gather(self.life_cnt)
+        new_size = start + (size - end)
+        self.sizes[vis, sis] = new_size
+
+        # append prototypes at each pair's LT cursor (growing capacity as
+        # the max cursor approaches it — lazy, same policy as
+        # MemoryEngine._compress)
+        p = cfg.num_prototypes
+        lcap = self.lt_key.shape[2]
+        if int(self.lt_sizes[vis, sis].max()) + p > lcap:
+            max_cap = _round_up(cfg.max_long_term_elements, p)
+            new_cap = min(
+                _round_up(max(lcap * 2,
+                              int(self.lt_sizes[vis, sis].max()) + p), p),
+                max_cap)
+            grow = new_cap - lcap
+            pad3 = ((0, 0), (0, 0), (0, grow))
+            self.lt_key = jnp.pad(self.lt_key, pad3 + ((0, 0),))
+            self.lt_shr = jnp.pad(self.lt_shr, pad3)
+            self.lt_value = jnp.pad(self.lt_value, pad3 + ((0, 0), (0, 0)))
+            self.lt_use = jnp.pad(self.lt_use, pad3)
+            self.lt_life = jnp.pad(self.lt_life, pad3)
+        for i, (vi, si) in enumerate(trig):
+            off = int(self.lt_sizes[vi, si])
+            self.lt_key = self.lt_key.at[vi, si, off:off + p].set(
+                proto_key[i].astype(self.lt_key.dtype))
+            self.lt_shr = self.lt_shr.at[vi, si, off:off + p].set(
+                proto_shr[i].astype(self.lt_shr.dtype))
+            self.lt_value = self.lt_value.at[vi, si, off:off + p].set(
+                proto_value[i].astype(self.lt_value.dtype))
+            self.lt_use = self.lt_use.at[vi, si, off:off + p].set(0.0)
+            self.lt_life = self.lt_life.at[vi, si, off:off + p].set(1e-7)
+            self.lt_sizes[vi, si] += p
+
+    def _evict_obsolete(self, pairs, max_size: int) -> None:
+        """Per-(video, slot) usage eviction with the strictly-greater
+        threshold semantics of reference:kv_memory_store.py:164-185;
+        survivors keep their original order via a stable gather."""
+        lcap = self.lt_key.shape[2]
+        lt_use = np.asarray(self.lt_use)
+        lt_life = np.asarray(self.lt_life)
+        order = np.tile(np.arange(lcap), (len(self.cores), self.n_slots, 1))
+        for vi, si in pairs:
+            n = int(self.lt_sizes[vi, si])
+            k = n - max_size
+            if k <= 0:
+                continue
+            usage = lt_use[vi, si, :n] / lt_life[vi, si, :n]
+            thresh = np.partition(usage, k - 1)[k - 1]
+            survived = usage > thresh
+            order[vi, si] = np.concatenate([
+                np.nonzero(survived)[0], np.nonzero(~survived)[0],
+                np.arange(n, lcap)])
+            self.lt_sizes[vi, si] = int(survived.sum())
+
+        def gather(a):
+            idx = jnp.asarray(order, jnp.int32)
+            ix = idx.reshape(idx.shape + (1,) * (a.ndim - 3))
+            return jnp.take_along_axis(a, ix, axis=2)
+
+        self.lt_key = gather(self.lt_key)
+        self.lt_shr = gather(self.lt_shr)
+        self.lt_value = gather(self.lt_value)
+        self.lt_use = gather(self.lt_use)
+        self.lt_life = gather(self.lt_life)

@@ -155,25 +155,6 @@ def run_group(model, variables, cfg, readers, out_path, save_all=False):
     return n + len(readers)
 
 
-def lt_safe_write_bound(n_frames: int, first_mask_ti: int, n_mask_frames: int,
-                        cfg) -> bool:
-    """True when long-term consolidation provably never fires for this video:
-    an upper bound on its memory writes stays below max_mid_term_frames (the
-    trigger is bucket size >= max_mid_term_frames * HW tokens,
-    reference:deva/inference/memory_manager.py:207-218). Cadence writes are
-    bounded by floor(steps / mem_every); every mask frame forces one write
-    and resets the cadence (reference:inference_core.py:232-234), which only
-    removes cadence writes — so the sum is a safe overestimate. Below the
-    trigger, LT-on and LT-off propagation are identical (usage counting does
-    not enter the readout), so such videos may run on the LT-off batched
-    path with exact parity (tested: tests/test_batched_midstream.py)."""
-    if not cfg.enable_long_term:
-        return True
-    steps = n_frames - 1 - first_mask_ti
-    bound = steps // cfg.mem_every + n_mask_frames
-    return bound < cfg.max_mid_term_frames
-
-
 def run_group_midstream(model, variables, cfg, readers, out_path,
                         save_all=False):
     """Lockstep a group of same-resolution videos whose ground-truth masks
@@ -182,9 +163,9 @@ def run_group_midstream(model, variables, cfg, readers, out_path,
     (per-video memory cadences — a mask insertion resets a video's
     schedule); ticks where any video receives a mask run sequentially
     through the per-video reference path (merge + forced write + possible
-    new bucket), then the group re-attaches. cfg must have long-term memory
-    OFF (callers route only videos where lt_safe_write_bound holds, so this
-    is output-equivalent to the LT-on sequential path)."""
+    new bucket), then the group re-attaches. Long-term memory (lockstep
+    consolidation over the stacked multi-bucket slots) is fully supported
+    by the propagator."""
     from deva_tpu.inference.batched_detection import \
         BatchedDetectionPropagator
 
@@ -325,14 +306,14 @@ def main():
                    base_cfg.pad_objects(n_obj), count_usage)
             groups.setdefault(key, []).append(r)
             continue
-        # mid-stream mask arrivals (YouTubeVOS-style): batchable on the
-        # multi-bucket masked-write path when long-term consolidation
-        # provably never fires (exact LT-on parity); else sequential
-        if lt_safe_write_bound(len(r), mask_tis[0], len(mask_tis), base_cfg):
-            mid_groups.setdefault(tuple(np.asarray(d0["rgb"]).shape),
-                                  []).append(r)
-        else:
-            sequential.append(r)
+        # mid-stream mask arrivals (YouTubeVOS-style): the multi-bucket
+        # masked-write path hosts them, long-term memory included
+        count_usage = (base_cfg.enable_long_term and (
+            len(r) / (base_cfg.max_mid_term_frames -
+                      base_cfg.min_mid_term_frames) *
+            base_cfg.num_prototypes) >= base_cfg.max_long_term_elements)
+        mid_groups.setdefault(
+            (tuple(np.asarray(d0["rgb"]).shape), count_usage), []).append(r)
 
     start_profile(args.profile)
     total_frames = 0
@@ -348,8 +329,9 @@ def main():
             with video_fault_barrier(", ".join(names), args.raise_on_error):
                 total_frames += run_group(model, variables, cfg, chunk,
                                           out_path, args.save_all)
-    mid_cfg = dataclasses.replace(base_cfg, enable_long_term=False)
-    for shape, rs in sorted(mid_groups.items(), key=str):
+    for (shape, count_usage), rs in sorted(mid_groups.items(), key=str):
+        mid_cfg = dataclasses.replace(
+            base_cfg, enable_long_term_count_usage=count_usage)
         for i in range(0, len(rs), args.batch):
             chunk = rs[i:i + args.batch]
             if len(chunk) == 1:

@@ -8,8 +8,8 @@ as in the sequential driver.
 Behavioral anchor: reference:evaluation/eval_with_detections.py:205-265
 (semi-online machine). Equivalence with sequential stepping is tested in
 tests/test_batched_detection.py; this driver also falls back to the
-sequential path for videos the lockstep scope excludes (long-term memory
-enabled — pass --disable_long_term to batch everything — or groups of 1).
+sequential path for singleton groups. Long-term memory batches too (stacked
+per-slot LT rings with lockstep consolidation in the propagator).
 
 Lockstep covers the schedule-uniform prefix (all videos share
 next_voting_frame until the shortest video's last vote); the remaining tail
@@ -267,7 +267,7 @@ def main():
                 states.append(_VideoState(r, core, saver))
             with video_fault_barrier(f"group {shape} x{len(chunk)}",
                                      reraise=args.raise_on_error):
-                if len(states) == 1 or base_cfg.enable_long_term:
+                if len(states) == 1:
                     for vs in states:
                         total_frames += vs.length
                         run_sequential_tail(vs, args, dataset_name, 0,

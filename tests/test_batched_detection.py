@@ -270,3 +270,59 @@ def test_masked_writes_diverged_cadence():
             flips = o.argmax(0) != r.argmax(0)
             assert flips.mean() <= budget, \
                 f"video {vi} frame {ti}: argmax {flips.mean():.2%}"
+
+
+def test_batched_lt_equals_sequential():
+    """Long-term memory under multi-bucket batching: consolidation +
+    usage counting + eviction fire INSIDE the attached lockstep stepping
+    and must match the sequential single-video path
+    (reference:deva/inference/memory_manager.py:207-276)."""
+    model = DEVANetwork(ModelConfig())
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)),
+                           jnp.zeros((1, 1, 32, 32)),
+                           jnp.zeros((1, 1, 2, 2, 512)))
+    # hw = 24 tokens/frame; writes every frame; consolidation at 4 writes;
+    # LT cap 24 with 8 prototypes -> eviction at the 3rd consolidation
+    cfg = InferenceConfig(mem_every=1, top_k=8, enable_long_term=True,
+                          enable_long_term_count_usage=True,
+                          max_mid_term_frames=4, min_mid_term_frames=2,
+                          num_prototypes=8, max_long_term_elements=24,
+                          max_missed_detection_count=5,
+                          topk_method="exact")
+    det_every = 4
+    t = 12
+    rng = np.random.default_rng(23)
+    vids = [_video(rng, t), _video(rng, t, third_at=det_every)]
+
+    seq, seq_cores = _run_sequential(model, variables, cfg, vids,
+                                     det_every)
+    got, cores = _run_batched(model, variables, cfg, vids, det_every)
+
+    # long-term state really exercised (consolidations + eviction ran)
+    assert any(lt.size > 0 for c in seq_cores
+               for lt in c.memory.long_buckets.values())
+    for vi, (sc, bc) in enumerate(zip(seq_cores, cores)):
+        s_b = {bid: (b.size, len(b.obj_ids))
+               for bid, b in sc.memory.buckets.items()}
+        b_b = {bid: (b.size, len(b.obj_ids))
+               for bid, b in bc.memory.buckets.items()}
+        assert s_b == b_b, (vi, s_b, b_b)
+        s_lt = {bid: lt.size for bid, lt in sc.memory.long_buckets.items()}
+        b_lt = {bid: lt.size for bid, lt in bc.memory.long_buckets.items()}
+        assert s_lt == b_lt, (vi, s_lt, b_lt)
+
+    for vi in range(len(vids)):
+        for ti in range(t):
+            r, o = seq[vi][ti], got[vi][ti]
+            assert r.shape == o.shape, (vi, ti, r.shape, o.shape)
+            # same budgets as test_batched_detection_equals_sequential,
+            # slightly wider tail: the LT recurrence (usage -> prototype
+            # selection -> readout) compounds schedule float noise longer
+            budget = 0.02 if ti < 6 else 0.06
+            bad = (np.abs(o - r) > 5e-3).any(axis=0)
+            assert bad.mean() <= budget, \
+                f"video {vi} frame {ti}: {bad.mean():.2%} pixels differ"
+            flips = o.argmax(0) != r.argmax(0)
+            assert flips.mean() <= budget, \
+                f"video {vi} frame {ti}: argmax {flips.mean():.2%}"

@@ -60,14 +60,21 @@ def _relabel_equal(dir_a, dir_b, budget=0.02):
         assert frac <= budget, f"{f}: {frac:.2%} pixels differ"
 
 
-def test_batched_driver_matches_sequential(two_videos, tmp_path):
+@pytest.mark.parametrize("lt", [False, True])
+def test_batched_driver_matches_sequential(two_videos, tmp_path, lt):
     out_seq = tmp_path / "seq"
     out_bat = tmp_path / "bat"
     common = ["--dataset", "demo", "--img_path",
               str(two_videos / "images"), "--mask_path",
               str(two_videos / "source"), "--model", "",
-              "--disable_long_term", "--size", "240", "--top_k", "8",
+              "--size", "240", "--top_k", "8",
               "--raise_on_error"]
+    # lt=True drives the LT-enabled stacking (selection/usage rings) through
+    # the batched driver — the production default config; the clip is too
+    # short for consolidation (covered at propagator level,
+    # test_batched_detection.py::test_batched_lt_equals_sequential)
+    if not lt:
+        common.append("--disable_long_term")
     r1 = _run(["evaluation/eval_with_detections.py", "--output",
                str(out_seq)] + common)
     assert r1.returncode == 0, r1.stderr[-2000:]

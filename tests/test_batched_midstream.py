@@ -5,10 +5,9 @@ YouTubeVOS-style videos receive ground-truth masks after the first frame
 The batched driver routes such videos through the multi-bucket masked-write
 propagator (evaluation/eval_vos_batched.py run_group_midstream); outputs
 must match the strictly-sequential reference flow
-(reference:evaluation/eval_vos.py:110-160 with use_all_masks), INCLUDING
-the scoping argument: the sequential path runs with long-term memory ON
-(the production default) while the batched path runs the LT-off machinery,
-valid because lt_safe_write_bound guarantees consolidation never fires.
+(reference:evaluation/eval_vos.py:110-160 with use_all_masks), with
+long-term memory ON in both (lockstep consolidation fires in-driver on the
+batched side).
 """
 import os
 import runpy
@@ -72,24 +71,6 @@ def _load_masks(out_dir):
     return masks
 
 
-def test_lt_safe_write_bound():
-    sys.path.insert(0, path.join(REPO, "evaluation"))
-    try:
-        from eval_vos_batched import lt_safe_write_bound
-    finally:
-        sys.path.pop(0)
-    from deva_tpu.config import InferenceConfig
-    cfg = InferenceConfig(mem_every=5, max_mid_term_frames=10)
-    # 36-frame video, first mask at 0, 3 annotations: 35//5 + 3 = 10 >= 10
-    assert not lt_safe_write_bound(36, 0, 3, cfg)
-    # 30-frame video, 2 annotations: 29//5 + 2 = 7 < 10
-    assert lt_safe_write_bound(30, 0, 2, cfg)
-    # late first mask shrinks the stepped span
-    assert lt_safe_write_bound(60, 30, 2, cfg)
-    cfg_off = InferenceConfig(enable_long_term=False)
-    assert lt_safe_write_bound(10_000, 0, 100, cfg_off)
-
-
 def test_midstream_driver_equals_sequential(tmp_path):
     rng = np.random.default_rng(17)
     data = tmp_path / "data"
@@ -113,12 +94,12 @@ def test_midstream_driver_equals_sequential(tmp_path):
     # single-bucket lockstep path (routing must not regress it)
     _write_video(str(data), "vid_c", 8, rng, {0: _mask(obj1, obj2)})
 
-    # long-term memory stays ON for the sequential driver (the production
-    # default); the bound holds (7//2+2=5 < 6), so the batched driver runs
-    # these videos on the LT-off multi-bucket path with exact parity
+    # long-term memory ON in both drivers, with a tiny config (hw=24
+    # tokens/frame, writes every frame, consolidation at 4 writes) so
+    # lockstep consolidation really fires inside the batched mid-stream run
     common = ["--dataset", "G", "--generic_path", str(data), "--model", "",
-              "--size", "-1", "--mem_every", "2", "--top_k", "8",
-              "--max_mid_term_frames", "6", "--min_mid_term_frames", "3",
+              "--size", "-1", "--mem_every", "1", "--top_k", "8",
+              "--max_mid_term_frames", "4", "--min_mid_term_frames", "2",
               "--num_prototypes", "8", "--topk_method", "exact",
               "--use_all_masks"]
     seq_out = str(tmp_path / "seq")
