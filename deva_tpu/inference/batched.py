@@ -90,7 +90,13 @@ class BatchedPropagator:
                   for c in self.cores)
         if self.use_lt:
             hw = list(self.cores[0].memory.buckets.values())[0].size
-            cap = max(cap, _round_up(cfg.max_mid_term_frames * hw, hw))
+            # consolidation triggers at size >= max_work AND size >
+            # min_work + hw (the reference's min-size guard,
+            # kv_memory_store.py:134-135) — so the ring must hold up to
+            # max(max_work, min_work + 2*hw) tokens before compress fires
+            cap = max(cap, _round_up(
+                max(cfg.max_mid_term_frames,
+                    cfg.min_mid_term_frames + 2) * hw, hw))
         for c in self.cores:
             (_, b), = c.memory.buckets.items()
             pad_n = cap - b.cap
@@ -274,14 +280,22 @@ class BatchedPropagator:
         memory the working set is already capped at max_mid_term_frames."""
         hw = self._token_hw
         if self.use_lt:
-            return  # rings already sized to max_work_tokens in _stack
+            return  # rings already sized for the compress trigger in _stack
         need = int(self.sizes.max()) + n_writes * hw
         if need > self.key.shape[1]:
-            grow = need - self.key.shape[1]
-            self.key = jnp.pad(self.key, ((0, 0), (0, grow), (0, 0)))
-            self.shr = jnp.pad(self.shr, ((0, 0), (0, grow)))
-            self.value = jnp.pad(self.value,
-                                 ((0, 0), (0, grow), (0, 0), (0, 0)))
+            self._grow_rings(need - self.key.shape[1])
+
+    def _grow_rings(self, grow: int):
+        self.key = jnp.pad(self.key, ((0, 0), (0, grow), (0, 0)))
+        self.shr = jnp.pad(self.shr, ((0, 0), (0, grow)))
+        self.value = jnp.pad(self.value,
+                             ((0, 0), (0, grow), (0, 0), (0, 0)))
+        if self.use_lt:
+            # degenerate configs (consolidation blocked by the min-size
+            # guard) grow mid-run with the LT side rings live
+            self.sel = jnp.pad(self.sel, ((0, 0), (0, grow), (0, 0)))
+            self.use_cnt = jnp.pad(self.use_cnt, ((0, 0), (0, grow)))
+            self.life_cnt = jnp.pad(self.life_cnt, ((0, 0), (0, grow)))
 
     # -- long-term consolidation (lockstep over the batch) -----------------
 
@@ -458,11 +472,7 @@ class BatchedPropagator:
         hw = ((h + pads[2] + pads[3]) // 16) * ((w + pads[0] + pads[1]) // 16)
         if is_mem and not self.use_lt and \
                 int(self.sizes.max()) + hw > self.key.shape[1]:
-            grow = hw * 4
-            self.key = jnp.pad(self.key, ((0, 0), (0, grow), (0, 0)))
-            self.shr = jnp.pad(self.shr, ((0, 0), (0, grow)))
-            self.value = jnp.pad(self.value,
-                                 ((0, 0), (0, grow), (0, 0), (0, 0)))
+            self._grow_rings(hw * 4)
 
         fn = self._fn(is_mem, not end, pads)
         images = jnp.stack([jnp.asarray(f, jnp.float32) for f in frames])

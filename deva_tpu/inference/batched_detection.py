@@ -375,6 +375,65 @@ class BatchedDetectionPropagator:
 
         return fn
 
+    def _block_body(self, n_slots: int, n_read: int, write_last: bool,
+                    pads, masked_write: bool = False):
+        """n_read read-only frames via lax.scan (the rings are
+        loop-invariant, so the carry is only sensory/last_mask and the
+        usage counters) plus optionally ONE trailing (possibly masked)
+        memory-write frame — one compiled launch per memory period, same
+        structure as FusedStepper._raw_block. frames: [K, H, W, 3]."""
+        read = self._body(n_slots, False, True, pads, False)
+        write = self._body(n_slots, True, True, pads, masked_write) \
+            if write_last else None
+
+        def fn(frames, do_write, num_obj, keys, shrs, sels, values, use,
+               life, lt_keys, lt_shrs, lt_values, lt_use, lt_life, sizes,
+               lt_sizes, rowmaps, rowcnt, sensory, last_mask, variables):
+            def body(carry, frame):
+                sensory, last_mask, use, life, lt_use, lt_life = carry
+                (prob, sensory, last_mask, _k, _s, _sel, _v, use, life,
+                 lt_use, lt_life) = read(
+                    frame, do_write, num_obj, keys, shrs, sels, values,
+                    use, life, lt_keys, lt_shrs, lt_values, lt_use,
+                    lt_life, sizes, lt_sizes, rowmaps, rowcnt, sensory,
+                    last_mask, variables)
+                return (sensory, last_mask, use, life, lt_use, lt_life), \
+                    prob
+
+            carry = (sensory, last_mask, use, life, lt_use, lt_life)
+            if n_read > 0:
+                carry, probs = jax.lax.scan(body, carry, frames[:n_read])
+            else:
+                probs = None
+            sensory, last_mask, use, life, lt_use, lt_life = carry
+            if write_last:
+                (prob_w, sensory, last_mask, keys, shrs, sels, values, use,
+                 life, lt_use, lt_life) = write(
+                    frames[n_read], do_write, num_obj, keys, shrs, sels,
+                    values, use, life, lt_keys, lt_shrs, lt_values, lt_use,
+                    lt_life, sizes, lt_sizes, rowmaps, rowcnt, sensory,
+                    last_mask, variables)
+                probs = prob_w[None] if probs is None else \
+                    jnp.concatenate([probs, prob_w[None]], 0)
+            return (probs, sensory, last_mask, keys, shrs, sels, values,
+                    use, life, lt_use, lt_life)
+
+        return fn
+
+    def _donation(self, mem_write: bool, donate: bool):
+        dn = ()
+        if donate:
+            dn = (18, 19)                       # sensory, last_mask
+            if mem_write:
+                dn += (3, 4, 6)                 # keys, shrs, values
+                if self.use_lt:
+                    dn += (5,)                  # sels
+            if self.use_lt:
+                dn += (7, 8)                    # use, life
+                if self.count_lt_usage:
+                    dn += (12, 13)              # lt_use, lt_life
+        return tuple(sorted(dn))
+
     def _fn(self, mem_write: bool, update_sensory: bool, pads,
             donate: bool = True, masked_write: bool = False):
         keyk = (self.n_slots, mem_write, update_sensory, pads, donate,
@@ -383,20 +442,22 @@ class BatchedDetectionPropagator:
             body = self._body(self.n_slots, mem_write, update_sensory, pads,
                               masked_write)
             axes = (0,) * 20 + (None,)
-            dn = ()
-            if donate:
-                dn = (18, 19)                       # sensory, last_mask
-                if mem_write:
-                    dn += (3, 4, 6)                 # keys, shrs, values
-                    if self.use_lt:
-                        dn += (5,)                  # sels
-                if self.use_lt:
-                    dn += (7, 8)                    # use, life
-                    if self.count_lt_usage:
-                        dn += (12, 13)              # lt_use, lt_life
             self._fns[keyk] = jax.jit(
                 jax.vmap(body, in_axes=axes),
-                donate_argnums=tuple(sorted(dn)))
+                donate_argnums=self._donation(mem_write, donate))
+        return self._fns[keyk]
+
+    def _block_fn(self, n_read: int, write_last: bool, pads,
+                  masked_write: bool = False):
+        keyk = ("block", self.n_slots, n_read, write_last, pads,
+                masked_write)
+        if keyk not in self._fns:
+            body = self._block_body(self.n_slots, n_read, write_last, pads,
+                                    masked_write)
+            axes = (0,) * 20 + (None,)
+            self._fns[keyk] = jax.jit(
+                jax.vmap(body, in_axes=axes),
+                donate_argnums=self._donation(write_last, True))
         return self._fns[keyk]
 
     # -- stepping ----------------------------------------------------------
@@ -485,6 +546,65 @@ class BatchedDetectionPropagator:
             self._maybe_consolidate()
         return probs
 
+    def plan_block(self, max_k: int) -> int:
+        """Largest K <= max_k such that no video's memory write falls before
+        the block's LAST frame (writes may only land there — the scanned
+        read frames keep the rings loop-invariant)."""
+        nxt = self.last_mem_ti + self.cfg.mem_every - self.curr_ti
+        return int(max(1, min(int(nxt.min()), max_k)))
+
+    def step_block(self, frames, end: bool = False) -> jnp.ndarray:
+        """Advance every video K frames in ONE compiled launch (use
+        plan_block to choose K). frames: [B, K, H, W, 3] (list of B
+        [K, H, W, 3] accepted). Returns probabilities
+        [B, K, 1 + o_cap, H, W]. Per-video write cadences may diverge: a
+        write due on the last frame only for some videos runs as a masked
+        write, exactly as step_all."""
+        frames = jnp.stack([jnp.asarray(f, jnp.float32) for f in frames]) \
+            if isinstance(frames, (list, tuple)) else jnp.asarray(frames)
+        b, k, h, w = frames.shape[:4]
+        for i in range(1, k):
+            due = self.curr_ti + i - self.last_mem_ti >= self.cfg.mem_every
+            assert not due.any(), \
+                "a mid-block frame would be a memory frame; use plan_block"
+        self.curr_ti = self.curr_ti + k
+        is_mem = ((self.curr_ti - self.last_mem_ti >= self.cfg.mem_every)
+                  & (not end))
+        write_last = bool(is_mem.any())
+        masked = write_last and not is_mem.all()
+
+        pads = pad_amounts(h, w, 16)
+        hw = ((h + pads[2] + pads[3]) // 16) * ((w + pads[0] + pads[1]) // 16)
+        if write_last:
+            self._reserve(hw)
+        do_write = jnp.asarray(is_mem) if masked else \
+            jnp.ones((b,), bool)
+        sel, use, life, ltk, lts, ltv, ltu, ltl, lt_sizes = self._lt_args()
+        fn = self._block_fn(k - 1 if write_last else k, write_last, pads,
+                            masked)
+        out = fn(frames, do_write, self.num_obj, self.key, self.shr, sel,
+                 self.value, use, life, ltk, lts, ltv, ltu, ltl,
+                 jnp.asarray(self.sizes), lt_sizes, self.rowmaps,
+                 jnp.asarray(self.rowcnt), self.sensory, self.last_mask,
+                 self.variables)
+        (probs, self.sensory, self.last_mask, key, shr, sel, value, use,
+         life, lt_use, lt_life) = out
+        if self.use_lt:
+            self.use_cnt, self.life_cnt = use, life
+            if self.count_lt_usage:
+                self.lt_use, self.lt_life = lt_use, lt_life
+        if write_last:
+            self.key, self.shr, self.value = key, shr, value
+            if self.use_lt:
+                self.sel = sel
+            writers = np.asarray(is_mem)
+            self.sizes = self.sizes + hw * (writers[:, None] &
+                                            (self.rowcnt > 0))
+            self.last_mem_ti = np.where(is_mem, self.curr_ti,
+                                        self.last_mem_ti)
+            self._maybe_consolidate()
+        return probs
+
     def forward_probs(self, frames) -> np.ndarray:
         """Batched forward prediction for incorporate_detection: the same
         `_segment` every core would run (reference:inference_core.py:166-167)
@@ -521,9 +641,14 @@ class BatchedDetectionPropagator:
                 and self.sizes[vi, si] > min_work + hw]
         if not trig:
             return
-        sizes = {self.sizes[vi, si] for vi, si in trig}
-        assert sizes == {max_work}, \
-            f"triggered pairs must sit at max_work_tokens, got {sizes}"
+        # sizes advance in hw quanta and the check runs after every write,
+        # so every pair triggers at the SAME smallest qualifying size: the
+        # min-size guard (reference:kv_memory_store.py:134-135) can delay
+        # the trigger past max_work when max_work <= min_work + hw
+        s_star = max(max_work, (cfg.min_mid_term_frames + 2) * hw)
+        sizes = {int(self.sizes[vi, si]) for vi, si in trig}
+        assert sizes == {s_star}, \
+            f"triggered pairs must sit at {s_star} tokens, got {sizes}"
 
         # usage-based eviction for pairs whose LT ring is at the cap
         limit = cfg.max_long_term_elements - cfg.num_prototypes
@@ -540,7 +665,7 @@ class BatchedDetectionPropagator:
                 " eviction has usage statistics to rank tokens by")
             self._evict_obsolete(evict, limit)
 
-        size = max_work
+        size = s_star
         start, end = hw, size - min_work + hw
         vis = np.asarray([vi for vi, _ in trig])
         sis = np.asarray([si for _, si in trig])

@@ -178,6 +178,12 @@ def run_group_midstream(model, variables, cfg, readers, out_path,
     last = [None] * b
     attached = []
     n = 0
+    # mask arrival ticks are known up front (file-existence probe), so
+    # non-event ticks batch into K-frame blocks (one compiled launch per
+    # memory period — plan_block keeps writes on block-last frames)
+    scheds = [set(t for t in r.mask_frame_indices() if t < lengths[vi])
+              for vi, r in enumerate(readers)]
+    event_ticks = sorted(set().union(*scheds))
 
     def save(vi, d, prob):
         info = d["info"]
@@ -186,21 +192,26 @@ def run_group_midstream(model, variables, cfg, readers, out_path,
                        cores[vi].object_manager, readers[vi].get_palette(),
                        tuple(info["shape"]), info["need_resize"])
 
+    def fetch(iters, ti):
+        datas = [next(iters[vi], None) if ti < lengths[vi] else None
+                 for vi in range(b)]
+        for vi, d in enumerate(datas):
+            if d is not None:
+                last[vi] = d["rgb"]
+        return datas
+
     with contextlib.ExitStack() as stack:
         iters = [iter(stack.enter_context(Prefetcher(r, start=0)))
                  for r in readers]
-        for ti in range(max_len):
-            datas = [next(iters[vi], None) if ti < lengths[vi] else None
-                     for vi in range(b)]
-            for vi, d in enumerate(datas):
-                if d is not None:
-                    last[vi] = d["rgb"]
-            events = [vi for vi, d in enumerate(datas)
-                      if d is not None and d.get("mask") is not None]
-            if events:
-                # mask ticks: per-video reference path (merge / new bucket /
-                # forced write); non-event started videos step through their
-                # cores too so every clock advances exactly once
+        ti = 0
+        while ti < max_len:
+            if ti in event_ticks:
+                datas = fetch(iters, ti)
+                events = [vi for vi, d in enumerate(datas)
+                          if d is not None and d.get("mask") is not None]
+                # mask ticks: per-video reference path (merge / new bucket
+                # / forced write); non-event started videos step through
+                # their cores too so every clock advances exactly once
                 if attached:
                     bp.detach()
                     attached = []
@@ -216,25 +227,35 @@ def run_group_midstream(model, variables, cfg, readers, out_path,
                     started[vi] = True
                     n += 1
                     save(vi, d, prob)
+                ti += 1
                 continue
 
             active = [vi for vi in range(b) if started[vi]]
             if not active:
+                fetch(iters, ti)  # keep iterators tick-aligned
+                ti += 1
                 continue
             if attached != active:
                 if attached:
                     bp.detach()
                 bp.attach([cores[vi] for vi in active])
                 attached = active
-            probs = bp.step_all([last[vi] for vi in active],
-                                end=(ti == max_len - 1))
-            for bi, vi in enumerate(active):
-                d = datas[vi]
-                if d is None:
-                    continue  # replayed past this video's end; discard
-                n += 1
-                no = cores[vi].object_manager.num_obj
-                save(vi, d, probs[bi][:no + 1])
+            next_stop = min([t for t in event_ticks if t > ti] + [max_len])
+            k = bp.plan_block(min(next_stop - ti, cfg.mem_every, max_len - ti))
+            block = [fetch(iters, ti + i) for i in range(k)]
+            frames = [np.stack([block[i][vi]["rgb"] if block[i][vi]
+                                is not None else last[vi]
+                                for i in range(k)]) for vi in active]
+            probs = bp.step_block(frames, end=(ti + k == max_len))
+            for i in range(k):
+                for bi, vi in enumerate(active):
+                    d = block[i][vi]
+                    if d is None:
+                        continue  # replayed past this video's end; discard
+                    n += 1
+                    no = cores[vi].object_manager.num_obj
+                    save(vi, d, probs[bi][i][:no + 1])
+            ti += k
         if attached:
             bp.detach()
     return n

@@ -266,3 +266,52 @@ def test_batched_lt_eviction_requires_usage_counting():
     with pytest.raises(AssertionError, match="count_usage"):
         for ti in range(1, t):
             bp.step_all([frames[ti]])
+
+
+def test_delayed_consolidation_trigger():
+    """max_mid_term_frames <= min_mid_term_frames + 1: the reference's
+    min-size guard (kv_memory_store.py:134-135) delays compress one write
+    PAST max_work_tokens, so the stacked rings must hold the delayed
+    trigger size (min_work + 2*hw) instead of clamping writes at max_work
+    (a clamped dynamic_update_slice silently overwrites the last frame's
+    tokens). Regression: batched == sequential under that config."""
+    model = DEVANetwork(ModelConfig())
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)),
+                           jnp.zeros((1, 1, 32, 32)),
+                           jnp.zeros((1, 1, 2, 2, 512)))
+    cfg = InferenceConfig(mem_every=1, top_k=8, enable_long_term=True,
+                          max_mid_term_frames=3, min_mid_term_frames=2,
+                          num_prototypes=8, topk_method="exact")
+    rng = np.random.default_rng(51)
+    t = 8
+    vids = [_video(rng, t, 1), _video(rng, t, 2)]
+    objects = [[1], [1, 2]]
+
+    seq_cores = []
+    seq_last = []
+    for (frames, mask0), objs in zip(vids, objects):
+        core = InferenceCore(model, variables, cfg)
+        core.step(frames[0], mask0, objects=objs)
+        for f in frames[1:]:
+            p = core.step(f)
+        seq_cores.append(core)
+        seq_last.append(np.asarray(p))
+
+    bp = BatchedPropagator(model, variables, cfg)
+    bp.initialize([v[0][0] for v in vids], [v[1] for v in vids], objects)
+    for ti in range(1, t):
+        probs = bp.step_all([v[0][ti] for v in vids])
+
+    # compress fired at 96 tokens (max_work=72 delayed by the guard) and
+    # sieved back to 48 — identically in both flows, with LT engaged
+    want = seq_cores[0].memory.num_work_tokens
+    assert want == 48, want
+    assert int(bp.sizes[0]) == want, (int(bp.sizes[0]), want)
+    assert bp._lt_engaged
+    want_lt = list(seq_cores[0].memory.long_buckets.values())[0].size
+    assert int(bp.lt_sizes[0]) == want_lt, (int(bp.lt_sizes[0]), want_lt)
+    for vi, objs in enumerate(objects):
+        got = np.asarray(probs[vi][:len(objs) + 1])
+        bad = (np.abs(got - seq_last[vi]) > 5e-3).any(axis=0)
+        assert bad.mean() <= 0.05, f"video {vi}: {bad.mean():.2%} differ"

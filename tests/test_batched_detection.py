@@ -326,3 +326,70 @@ def test_batched_lt_equals_sequential():
             flips = o.argmax(0) != r.argmax(0)
             assert flips.mean() <= budget, \
                 f"video {vi} frame {ti}: argmax {flips.mean():.2%}"
+
+
+def test_step_block_equals_step_all():
+    """K-frame block launches (lax.scan read frames + one possibly-masked
+    write frame) must match per-frame step_all stepping — including
+    diverged per-video cadences and long-term consolidation."""
+    model = DEVANetwork(ModelConfig())
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)),
+                           jnp.zeros((1, 1, 32, 32)),
+                           jnp.zeros((1, 1, 2, 2, 512)))
+    cfg = InferenceConfig(mem_every=3, top_k=8, enable_long_term=True,
+                          enable_long_term_count_usage=True,
+                          max_mid_term_frames=4, min_mid_term_frames=2,
+                          num_prototypes=8, max_missed_detection_count=5,
+                          topk_method="exact")
+    t = 10
+    rng = np.random.default_rng(41)
+    vids = [_video(rng, t), _video(rng, t, third_at=0)]
+
+    def make_cores():
+        cores = []
+        for frames, det_masks, det_infos in vids:
+            core = InferenceCore(model, variables, cfg)
+            core.enabled_long_id()
+            core.incorporate_detection(frames[0], det_masks[0],
+                                       _segs(det_infos[0]))
+            cores.append(core)
+        # diverge the cadences: video 0 takes one extra single step
+        cores[0].step(vids[0][0][1], None, None)
+        cores[0].last_mem_ti = 1  # as if a detection reset it at ti=1
+        cores[1].step(vids[1][0][1], None, None)
+        return cores
+
+    cores_a = make_cores()
+    bp_a = BatchedDetectionPropagator(model, variables, cfg)
+    bp_a.attach(cores_a)
+    probs_a = []
+    for ti in range(2, t):
+        probs_a.append(np.asarray(
+            bp_a.step_all([v[0][ti] for v in vids])))
+    bp_a.detach()
+
+    cores_b = make_cores()
+    bp_b = BatchedDetectionPropagator(model, variables, cfg)
+    bp_b.attach(cores_b)
+    probs_b = []
+    ti = 2
+    while ti < t:
+        k = bp_b.plan_block(min(cfg.mem_every, t - ti))
+        frames = [np.stack([v[0][ti + i] for i in range(k)]) for v in vids]
+        out = np.asarray(bp_b.step_block(frames))
+        for i in range(k):
+            probs_b.append(out[:, i])
+        ti += k
+    bp_b.detach()
+
+    assert any(k[0] == "block" and k[2] > 0 for k in bp_b._fns), \
+        "no multi-frame (scanned) block compiled"
+    np.testing.assert_array_equal(bp_a.sizes, bp_b.sizes)
+    np.testing.assert_array_equal(bp_a.lt_sizes, bp_b.lt_sizes)
+    np.testing.assert_array_equal(np.asarray(bp_a.last_mem_ti),
+                                  np.asarray(bp_b.last_mem_ti))
+    for i, (a, o) in enumerate(zip(probs_a, probs_b)):
+        assert a.shape == o.shape
+        bad = (np.abs(o - a) > 5e-3).any(axis=1)
+        assert bad.mean() <= 0.02, f"frame {i}: {bad.mean():.2%} differ"

@@ -84,21 +84,22 @@ def test_midstream_driver_equals_sequential(tmp_path):
     # reference:deva/inference/object_manager.py:40-53, making outputs
     # nondeterministic). The introduction forces a memory write and resets
     # vid_a's cadence mid-group.
-    _write_video(str(data), "vid_a", 8, rng,
+    _write_video(str(data), "vid_a", 10, rng,
                  {0: _mask(obj1), 3: _mask(obj2)})
     # vid_b: first mask arrives at frame 2 (prefix frames are skipped), a
     # third object appears at frame 5; shorter than vid_a (replay+discard)
-    _write_video(str(data), "vid_b", 7, rng,
+    _write_video(str(data), "vid_b", 9, rng,
                  {2: _mask(obj2), 5: _mask(obj3)})
     # vid_c: plain first-frame-only video — must still take the
     # single-bucket lockstep path (routing must not regress it)
-    _write_video(str(data), "vid_c", 8, rng, {0: _mask(obj1, obj2)})
+    _write_video(str(data), "vid_c", 10, rng, {0: _mask(obj1, obj2)})
 
     # long-term memory ON in both drivers, with a tiny config (hw=24
-    # tokens/frame, writes every frame, consolidation at 4 writes) so
-    # lockstep consolidation really fires inside the batched mid-stream run
+    # tokens/frame, writes every 2nd frame, consolidation at 4 writes) so
+    # lockstep consolidation AND multi-frame block launches (mem_every=2
+    # -> scanned read frames) both fire inside the batched mid-stream run
     common = ["--dataset", "G", "--generic_path", str(data), "--model", "",
-              "--size", "-1", "--mem_every", "1", "--top_k", "8",
+              "--size", "-1", "--mem_every", "2", "--top_k", "8",
               "--max_mid_term_frames", "4", "--min_mid_term_frames", "2",
               "--num_prototypes", "8", "--topk_method", "exact",
               "--use_all_masks"]
