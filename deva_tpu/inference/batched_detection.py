@@ -59,13 +59,25 @@ def _slot_bucket(n: int) -> int:
 
 class BatchedDetectionPropagator:
     def __init__(self, model: DEVANetwork, variables,
-                 config: InferenceConfig):
+                 config: InferenceConfig, mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'data' axis — multi-chip
+        serving shards the video axis of every stacked slot array over it
+        (SURVEY §2.8: "per-device video sharding inside one pod slice");
+        the per-video body has no cross-video terms, so XLA partitions the
+        launch with zero collectives on the hot path. The attached batch
+        must divide evenly over the axis."""
         self.model = model
         self.variables = variables
         self.cfg = config
         self.use_lt = config.enable_long_term
         self.count_lt_usage = (config.enable_long_term and
                                config.enable_long_term_count_usage)
+        self.mesh = mesh
+        if mesh is not None:
+            from deva_tpu.parallel.mesh import batch_spec, replicated_spec
+            self._shard_video = batch_spec(mesh)
+            self._shard_rep = replicated_spec(mesh)
+            self.variables = jax.device_put(variables, self._shard_rep)
         self._fns: Dict = {}
 
     # -- stacking ----------------------------------------------------------
@@ -77,6 +89,11 @@ class BatchedDetectionPropagator:
         self.cores = list(cores)
         b = len(cores)
         assert b > 0
+        if self.mesh is not None:
+            nd = self.mesh.shape["data"]
+            assert b % nd == 0, (
+                f"batch {b} must divide over the {nd}-device 'data' axis "
+                "(pad the video group or shrink the mesh)")
         for c in cores:
             assert c.memory is not None and c.memory.engaged
             assert c.memory.use_long_term == self.use_lt
@@ -434,6 +451,15 @@ class BatchedDetectionPropagator:
                     dn += (12, 13)              # lt_use, lt_life
         return tuple(sorted(dn))
 
+    def _jit_kwargs(self):
+        if self.mesh is None:
+            return {}
+        # shard the video axis over 'data'; replicate the weights. All 11
+        # outputs keep their per-video leading axis.
+        return {"in_shardings": (self._shard_video,) * 20 + (
+                    self._shard_rep,),
+                "out_shardings": (self._shard_video,) * 11}
+
     def _fn(self, mem_write: bool, update_sensory: bool, pads,
             donate: bool = True, masked_write: bool = False):
         keyk = (self.n_slots, mem_write, update_sensory, pads, donate,
@@ -444,7 +470,8 @@ class BatchedDetectionPropagator:
             axes = (0,) * 20 + (None,)
             self._fns[keyk] = jax.jit(
                 jax.vmap(body, in_axes=axes),
-                donate_argnums=self._donation(mem_write, donate))
+                donate_argnums=self._donation(mem_write, donate),
+                **self._jit_kwargs())
         return self._fns[keyk]
 
     def _block_fn(self, n_read: int, write_last: bool, pads,
@@ -457,7 +484,8 @@ class BatchedDetectionPropagator:
             axes = (0,) * 20 + (None,)
             self._fns[keyk] = jax.jit(
                 jax.vmap(body, in_axes=axes),
-                donate_argnums=self._donation(write_last, True))
+                donate_argnums=self._donation(write_last, True),
+                **self._jit_kwargs())
         return self._fns[keyk]
 
     # -- stepping ----------------------------------------------------------
@@ -475,6 +503,14 @@ class BatchedDetectionPropagator:
                 self.sel = jnp.pad(self.sel, pad3 + ((0, 0),))
                 self.use_cnt = jnp.pad(self.use_cnt, pad3)
                 self.life_cnt = jnp.pad(self.life_cnt, pad3)
+
+    def _shard(self, args):
+        """Lay the video axis out over 'data' (no-op once the state is
+        already sharded — i.e. every launch after the first, except right
+        after a host-side attach/consolidation rebuild)."""
+        if self.mesh is None:
+            return args
+        return tuple(jax.device_put(a, self._shard_video) for a in args)
 
     def _lt_args(self):
         b = len(self.cores)
@@ -503,11 +539,12 @@ class BatchedDetectionPropagator:
             else jnp.asarray(write_mask)
         sel, use, life, ltk, lts, ltv, ltu, ltl, lt_sizes = self._lt_args()
         fn = self._fn(mem_write, update_sensory, pads, donate, masked)
-        out = fn(frames, do_write, self.num_obj, self.key, self.shr, sel,
-                 self.value, use, life, ltk, lts, ltv, ltu, ltl,
-                 jnp.asarray(self.sizes), lt_sizes, self.rowmaps,
-                 jnp.asarray(self.rowcnt), self.sensory, self.last_mask,
-                 self.variables)
+        args = self._shard(
+            (frames, do_write, self.num_obj, self.key, self.shr, sel,
+             self.value, use, life, ltk, lts, ltv, ltu, ltl,
+             jnp.asarray(self.sizes), lt_sizes, self.rowmaps,
+             jnp.asarray(self.rowcnt), self.sensory, self.last_mask))
+        out = fn(*args, self.variables)
         (probs, self.sensory, last_mask, key, shr, sel, value, use, life,
          lt_use, lt_life) = out
         if keep_last_mask:
@@ -582,11 +619,12 @@ class BatchedDetectionPropagator:
         sel, use, life, ltk, lts, ltv, ltu, ltl, lt_sizes = self._lt_args()
         fn = self._block_fn(k - 1 if write_last else k, write_last, pads,
                             masked)
-        out = fn(frames, do_write, self.num_obj, self.key, self.shr, sel,
-                 self.value, use, life, ltk, lts, ltv, ltu, ltl,
-                 jnp.asarray(self.sizes), lt_sizes, self.rowmaps,
-                 jnp.asarray(self.rowcnt), self.sensory, self.last_mask,
-                 self.variables)
+        args = self._shard(
+            (frames, do_write, self.num_obj, self.key, self.shr, sel,
+             self.value, use, life, ltk, lts, ltv, ltu, ltl,
+             jnp.asarray(self.sizes), lt_sizes, self.rowmaps,
+             jnp.asarray(self.rowcnt), self.sensory, self.last_mask))
+        out = fn(*args, self.variables)
         (probs, self.sensory, self.last_mask, key, shr, sel, value, use,
          life, lt_use, lt_life) = out
         if self.use_lt:

@@ -393,3 +393,63 @@ def test_step_block_equals_step_all():
         assert a.shape == o.shape
         bad = (np.abs(o - a) > 5e-3).any(axis=1)
         assert bad.mean() <= 0.02, f"frame {i}: {bad.mean():.2%} differ"
+
+
+def test_multibucket_mesh_equals_unsharded():
+    """BatchedDetectionPropagator with a 'data'-axis mesh must produce the
+    same outputs and state as the unsharded propagator (per-video bodies
+    have no cross-video terms; XLA partitions the launch with zero
+    hot-path collectives)."""
+    from deva_tpu.parallel.mesh import make_mesh
+
+    model = DEVANetwork(ModelConfig())
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)),
+                           jnp.zeros((1, 1, 32, 32)),
+                           jnp.zeros((1, 1, 2, 2, 512)))
+    cfg = InferenceConfig(mem_every=2, top_k=8, enable_long_term=True,
+                          enable_long_term_count_usage=True,
+                          max_mid_term_frames=4, min_mid_term_frames=2,
+                          num_prototypes=8, max_missed_detection_count=5,
+                          topk_method="exact")
+    t = 6
+    rng = np.random.default_rng(61)
+    vids = [_video(rng, t, third_at=1), _video(rng, t)]
+
+    def make_cores():
+        cores = []
+        for frames, det_masks, det_infos in vids:
+            core = InferenceCore(model, variables, cfg)
+            core.enabled_long_id()
+            core.incorporate_detection(frames[0], det_masks[0],
+                                       _segs(det_infos[0]))
+            core.incorporate_detection(frames[1], det_masks[1],
+                                       _segs(det_infos[1]))
+            cores.append(core)
+        return cores
+
+    def run(mesh):
+        cores = make_cores()
+        bp = BatchedDetectionPropagator(model, variables, cfg, mesh=mesh)
+        bp.attach(cores)
+        out = []
+        ti = 2
+        while ti < t:
+            k = bp.plan_block(min(cfg.mem_every, t - ti))
+            frames = [np.stack([v[0][ti + i] for i in range(k)])
+                      for v in vids]
+            probs = np.asarray(bp.step_block(frames))
+            for i in range(k):
+                out.append(probs[:, i])
+            ti += k
+        bp.detach()
+        return out, bp
+
+    ref_out, ref_bp = run(None)
+    mesh = make_mesh(2, 1, devices=jax.devices()[:2])
+    mesh_out, mesh_bp = run(mesh)
+
+    np.testing.assert_array_equal(ref_bp.sizes, mesh_bp.sizes)
+    for a, o in zip(ref_out, mesh_out):
+        bad = (np.abs(o - a) > 5e-3).any(axis=1)
+        assert bad.mean() <= 0.02, f"{bad.mean():.2%} pixels differ"
