@@ -1,19 +1,25 @@
-"""Batched detection-driven evaluation (semi-online): videos are grouped by
-padded resolution and advanced in lockstep — the plain propagation frames
-and the incorporate-detection forward predictions run as ONE vmapped launch
-per frame across the group (deva_tpu/inference/batched_detection.py), while
-consensus voting / ILP / match-and-merge stay per-video on the host, exactly
-as in the sequential driver.
+"""Batched detection-driven evaluation (semi-online AND online): videos are
+grouped by padded resolution (+ LT usage-counting policy) and advanced in
+lockstep — plain propagation spans run as K-frame block launches (lax.scan
+read frames + one write frame) and the incorporate-detection forward
+predictions run as ONE vmapped launch across the group
+(deva_tpu/inference/batched_detection.py), while consensus voting / ILP /
+match-and-merge stay per-video on the host, exactly as in the sequential
+driver.
 
-Behavioral anchor: reference:evaluation/eval_with_detections.py:205-265
-(semi-online machine). Equivalence with sequential stepping is tested in
-tests/test_batched_detection.py; this driver also falls back to the
-sequential path for singleton groups. Long-term memory batches too (stacked
-per-slot LT rings with lockstep consolidation in the propagator).
+Behavioral anchors: reference:evaluation/eval_with_detections.py:205-265
+(semi-online machine) and :225-237 (online machine). Equivalence with
+sequential stepping is tested in tests/test_batched_detection.py and at the
+driver level in tests/test_batched_detection_driver.py (both settings);
+singleton groups fall back to the sequential path. Long-term memory batches
+too (stacked per-slot LT rings with lockstep consolidation in the
+propagator). For --dataset vipseg the same post-pipeline as the sequential
+driver runs (pred.json, stuff merge, VPQ/STQ).
 
-Lockstep covers the schedule-uniform prefix (all videos share
-next_voting_frame until the shortest video's last vote); the remaining tail
-frames run sequentially per video.
+Semi-online lockstep covers the schedule-uniform prefix (all videos share
+next_voting_frame until the shortest video's last vote); online lockstep
+covers the whole common prefix (the cadence ti % detection_every == 0 never
+diverges). Remaining tail frames run sequentially per video.
 
 Usage (example clip):
   python evaluation/eval_with_detections_batched.py --dataset demo \
@@ -124,6 +130,113 @@ def run_sequential_tail(vs: _VideoState, args, dataset_name, ti0: int,
     return next_voting_frame
 
 
+def run_sequential_tail_online(vs: _VideoState, args, dataset_name,
+                               ti0: int):
+    """Finish a video with the per-video ONLINE machine from frame ti0
+    (reference:eval_with_detections.py:225-237: incorporate every
+    detection_every-th frame, plain step otherwise)."""
+    processor = vs.core
+    vid_length = vs.length
+    for ti in range(ti0, vid_length):
+        data, info, segments_info = _frame_record(vs.reader, ti,
+                                                  dataset_name)
+        image, mask = data["rgb"], data.get("mask")
+        if ti % args.detection_every == 0:
+            assert mask is not None
+            prob = processor.incorporate_detection(image, mask,
+                                                   segments_info)
+        else:
+            prob = processor.step(image, None, None,
+                                  end=(ti == vid_length - 1))
+        if info["save"]:
+            vs.saver.save_mask(prob, info["frame"],
+                               need_resize=info["need_resize"],
+                               shape=info["shape"],
+                               path_to_image=info.get("path_to_image"))
+
+
+def run_group_online(model, variables, cfg, group, args,
+                     dataset_name) -> int:
+    """ONLINE lockstep: the detection cadence (ti % detection_every == 0)
+    is global, so schedules never diverge — the whole common prefix
+    (min video length) runs lockstep. Detection frames run the batched
+    forward prediction (ONE launch) + per-video incorporate_detection on
+    the host; the plain spans between detections run as K-frame block
+    launches. Tails past min_len finish with the per-video online machine.
+    Behavioral anchor: reference:evaluation/eval_with_detections.py:225-237.
+    """
+    states = group
+    cores = [vs.core for vs in states]
+    min_len = min(vs.length for vs in states)
+    bp = BatchedDetectionPropagator(model, variables, cfg)
+
+    n_frames = 0
+    attached = False
+    ti = 0
+    while ti < min_len:
+        if ti % args.detection_every == 0:
+            records = [_frame_record(vs.reader, ti, dataset_name)
+                       for vs in states]
+            n_frames += len(states)
+            fwd = None
+            if attached:
+                # the forward _segment every core's incorporate would run,
+                # in ONE launch (sensory updates included) — then detach so
+                # the per-video merge runs reference-parity host code
+                fwd = bp.forward_probs([r[0]["rgb"] for r in records])
+                bp.detach()
+                attached = False
+            for vi, vs in enumerate(states):
+                data, info, segs = records[vi]
+                mask = data.get("mask")
+                assert mask is not None
+                fm = None
+                if fwd is not None:
+                    n = vs.core.object_manager.num_obj
+                    fm = np.argmax(fwd[vi][:n + 1], axis=0)
+                prob = vs.core.incorporate_detection(
+                    data["rgb"], mask, segs, forward_mask=fm)
+                if info["save"]:
+                    vs.saver.save_mask(
+                        prob, info["frame"],
+                        need_resize=info["need_resize"],
+                        shape=info["shape"],
+                        path_to_image=info.get("path_to_image"))
+            bp.attach(cores)
+            attached = True
+            ti += 1
+        else:
+            assert attached
+            span = min(args.detection_every - ti % args.detection_every,
+                       min_len - ti)
+            k = bp.plan_block(min(span, cfg.mem_every))
+            records_k = [[_frame_record(vs.reader, ti + i, dataset_name)
+                          for vs in states] for i in range(k)]
+            n_frames += len(states) * k
+            frames = [np.stack([records_k[i][vi][0]["rgb"]
+                                for i in range(k)])
+                      for vi in range(len(states))]
+            probs = bp.step_block(frames)
+            for i in range(k):
+                for vi, vs in enumerate(states):
+                    info = records_k[i][vi][1]
+                    if info["save"]:
+                        n = vs.core.object_manager.num_obj
+                        vs.saver.save_mask(
+                            probs[vi][i][:n + 1], info["frame"],
+                            need_resize=info["need_resize"],
+                            shape=info["shape"],
+                            path_to_image=info.get("path_to_image"))
+            ti += k
+
+    if attached:
+        bp.detach()
+    for vs in states:
+        n_frames += vs.length - ti
+        run_sequential_tail_online(vs, args, dataset_name, ti)
+    return n_frames
+
+
 def run_group(model, variables, cfg, group, args, dataset_name) -> int:
     """Lockstep the schedule-uniform prefix of a same-resolution group, then
     finish the tails sequentially. Returns total processed frames."""
@@ -140,72 +253,92 @@ def run_group(model, variables, cfg, group, args, dataset_name) -> int:
         if next_voting + args.detection_every >= min_len and \
                 ti > next_voting:
             break  # schedules diverge after the last common vote
+        if not (ti + args.num_voting_frames > next_voting):
+            # plain propagation span before buffering resumes: consume it
+            # in K-frame block launches (scan read frames + write frame)
+            assert attached
+            span = min(next_voting - args.num_voting_frames + 1 - ti,
+                       min_len - ti)
+            k = bp.plan_block(min(span, cfg.mem_every))
+            records_k = [[_frame_record(vs.reader, ti + i, dataset_name)
+                          for vs in states] for i in range(k)]
+            n_frames += len(states) * k
+            frames = [np.stack([records_k[i][vi][0]["rgb"]
+                                for i in range(k)])
+                      for vi in range(len(states))]
+            probs = bp.step_block(frames)
+            for i in range(k):
+                for vi, vs in enumerate(states):
+                    info = records_k[i][vi][1]
+                    if info["save"]:
+                        n = vs.core.object_manager.num_obj
+                        vs.saver.save_mask(
+                            probs[vi][i][:n + 1], info["frame"],
+                            need_resize=info["need_resize"],
+                            shape=info["shape"],
+                            path_to_image=info.get("path_to_image"))
+            ti += k
+            continue
         records = [_frame_record(vs.reader, ti, dataset_name)
                    for vs in states]
         n_frames += len(states)
-        if ti + args.num_voting_frames > next_voting:
-            for vs, (data, info, segs) in zip(states, records):
-                vs.core.add_to_temporary_buffer(FrameInfo(
-                    data["rgb"], np.asarray(data.get("mask")), segs, ti,
-                    info))
-            if ti == next_voting:
-                # batched forward prediction for every core in ONE launch,
-                # BEFORE detaching so its sensory update (the reference's
-                # internal _segment updates sensory too) reaches the cores
-                buf0s = [vs.core.frame_buffer[0] for vs in states]
-                fwd = None
-                if attached:
-                    fwd = bp.forward_probs([b.image for b in buf0s])
-                    bp.detach()
-                    attached = False
-                for vi, vs in enumerate(states):
-                    buf0 = buf0s[vi]
-                    _, consensus_mask, consensus_info = \
-                        vs.core.vote_in_temporary_buffer(
-                            keyframe_selection="first")
-                    fm = None
-                    if fwd is not None:
-                        n = vs.core.object_manager.num_obj
-                        fm = np.argmax(fwd[vi][:n + 1], axis=0)
-                    prob = vs.core.incorporate_detection(
-                        buf0.image, consensus_mask, consensus_info,
-                        forward_mask=fm)
-                    if buf0.save_needed:
-                        vs.saver.save_mask(
-                            prob, buf0.name,
-                            need_resize=buf0.info["need_resize"],
-                            shape=buf0.shape,
-                            path_to_image=buf0.path_to_image)
-                next_voting += args.detection_every
-                # batched propagation of the rest of the buffer
-                bp.attach(cores)
-                attached = True
-                for j in range(1, len(states[0].core.frame_buffer)):
-                    frames = [vs.core.frame_buffer[j].image for vs in states]
-                    probs = bp.step_all(frames)
+        for vs, (data, info, segs) in zip(states, records):
+            vs.core.add_to_temporary_buffer(FrameInfo(
+                data["rgb"], np.asarray(data.get("mask")), segs, ti,
+                info))
+        if ti == next_voting:
+            # batched forward prediction for every core in ONE launch,
+            # BEFORE detaching so its sensory update (the reference's
+            # internal _segment updates sensory too) reaches the cores
+            buf0s = [vs.core.frame_buffer[0] for vs in states]
+            fwd = None
+            if attached:
+                fwd = bp.forward_probs([b.image for b in buf0s])
+                bp.detach()
+                attached = False
+            for vi, vs in enumerate(states):
+                buf0 = buf0s[vi]
+                _, consensus_mask, consensus_info = \
+                    vs.core.vote_in_temporary_buffer(
+                        keyframe_selection="first")
+                fm = None
+                if fwd is not None:
+                    n = vs.core.object_manager.num_obj
+                    fm = np.argmax(fwd[vi][:n + 1], axis=0)
+                prob = vs.core.incorporate_detection(
+                    buf0.image, consensus_mask, consensus_info,
+                    forward_mask=fm)
+                if buf0.save_needed:
+                    vs.saver.save_mask(
+                        prob, buf0.name,
+                        need_resize=buf0.info["need_resize"],
+                        shape=buf0.shape,
+                        path_to_image=buf0.path_to_image)
+            next_voting += args.detection_every
+            # batched propagation of the rest of the buffer
+            bp.attach(cores)
+            attached = True
+            nbuf = len(states[0].core.frame_buffer)
+            j = 1
+            while j < nbuf:
+                k = bp.plan_block(min(nbuf - j, cfg.mem_every))
+                frames = [np.stack([np.asarray(
+                    vs.core.frame_buffer[j + i].image)
+                    for i in range(k)]) for vs in states]
+                probs = bp.step_block(frames)
+                for i in range(k):
                     for vi, vs in enumerate(states):
-                        fi = vs.core.frame_buffer[j]
+                        fi = vs.core.frame_buffer[j + i]
                         if fi.save_needed:
                             n = vs.core.object_manager.num_obj
                             vs.saver.save_mask(
-                                probs[vi][:n + 1], fi.name,
+                                probs[vi][i][:n + 1], fi.name,
                                 need_resize=fi.info["need_resize"],
                                 shape=fi.shape,
                                 path_to_image=fi.path_to_image)
-                for vs in states:
-                    vs.core.clear_buffer()
-        else:
-            assert attached
-            probs = bp.step_all([r[0]["rgb"] for r in records])
-            for vi, (vs, (data, info, segs)) in enumerate(
-                    zip(states, records)):
-                if info["save"]:
-                    n = vs.core.object_manager.num_obj
-                    vs.saver.save_mask(probs[vi][:n + 1], info["frame"],
-                                       need_resize=info["need_resize"],
-                                       shape=info["shape"],
-                                       path_to_image=info.get(
-                                           "path_to_image"))
+                j += k
+            for vs in states:
+                vs.core.clear_buffer()
         ti += 1
 
     if attached:
@@ -224,14 +357,20 @@ def main():
     parser.add_argument("--mask_path")
     parser.add_argument("--detection_every", type=int, default=5)
     parser.add_argument("--num_voting_frames", type=int, default=3)
+    parser.add_argument("--temporal_setting", default="semionline",
+                        help="semionline/online")
     parser.add_argument("--dataset", default="demo", help="vipseg/demo")
     parser.add_argument("--max_missed_detection_count", type=int, default=5)
     parser.add_argument("--max_num_objects", type=int, default=-1)
     parser.add_argument("--batch", type=int, default=4)
+    parser.add_argument("--no_metrics", action="store_true")
+    parser.add_argument("--vipseg_root", default="../VIPSeg/VIPSeg_720P")
     add_common_eval_args(parser)
     model, variables, base_cfg, args = get_model_and_config(parser)
     dataset_name = args.dataset.lower()
     assert dataset_name in ("vipseg", "demo")
+    temporal_setting = args.temporal_setting.lower()
+    assert temporal_setting in ("semionline", "online")
 
     if path.exists(path.join(args.mask_path, "pan_pred")):
         args.mask_path = path.join(args.mask_path, "pan_pred")
@@ -244,22 +383,33 @@ def main():
         detection_every=args.detection_every,
         num_voting_frames=args.num_voting_frames)
 
-    # group by padded resolution; LT-enabled configs stay sequential
-    groups = defaultdict(list)
+    is_vipseg = dataset_name == "vipseg"
+    output_json_annotations = []
+    groups = defaultdict(list)  # group by padded resolution
     total_frames = 0
     t0 = time.perf_counter()
     save_all = getattr(args, "save_all", False)
     for vid_reader in meta_dataset.get_datasets():
         d0 = vid_reader[0]
         shape = tuple(np.asarray(d0["rgb"]).shape[:2])
-        groups[shape].append(vid_reader)
+        # per-video LT usage-counting policy from video length, as in the
+        # sequential driver (reference:evaluation/eval_vos.py:127-130) —
+        # part of the lockstep grouping key so one compiled config serves
+        # the whole group
+        count_usage = (base_cfg.enable_long_term and (
+            len(vid_reader) / (base_cfg.max_mid_term_frames -
+                               base_cfg.min_mid_term_frames) *
+            base_cfg.num_prototypes) >= base_cfg.max_long_term_elements)
+        groups[(shape, count_usage)].append(vid_reader)
 
-    for shape, readers in groups.items():
+    for (shape, count_usage), readers in sorted(groups.items(), key=str):
+        cfg = dataclasses.replace(base_cfg,
+                                  enable_long_term_count_usage=count_usage)
         while readers:
             chunk, readers = readers[:args.batch], readers[args.batch:]
             states = []
             for r in chunk:
-                core = InferenceCore(model, variables, base_cfg)
+                core = InferenceCore(model, variables, cfg)
                 core.enabled_long_id()
                 saver = ResultSaver(args.output, r.vid_name,
                                     dataset=dataset_name, palette=r.palette,
@@ -270,19 +420,51 @@ def main():
                 if len(states) == 1:
                     for vs in states:
                         total_frames += vs.length
-                        run_sequential_tail(vs, args, dataset_name, 0,
-                                            args.num_voting_frames - 1)
+                        if temporal_setting == "online":
+                            run_sequential_tail_online(vs, args,
+                                                       dataset_name, 0)
+                        else:
+                            run_sequential_tail(vs, args, dataset_name, 0,
+                                                args.num_voting_frames - 1)
+                elif temporal_setting == "online":
+                    total_frames += run_group_online(
+                        model, variables, cfg, states, args, dataset_name)
                 else:
-                    total_frames += run_group(model, variables, base_cfg,
+                    total_frames += run_group(model, variables, cfg,
                                               states, args, dataset_name)
             for vs in states:
                 vs.saver.end()
+                if is_vipseg:
+                    output_json_annotations.append(vs.saver.video_json)
     dt = time.perf_counter() - t0
     print(f"Total processing time: {dt}")
     print(f"Total processed frames: {total_frames}")
     if dt > 0:
         print(f"FPS: {total_frames / dt}")
     report_max_memory()
+
+    if is_vipseg:
+        # same post-pipeline as the sequential driver
+        # (reference:evaluation/eval_with_detections.py:331-344)
+        with open(path.join(args.output, "pred.json"), "w") as f:
+            json.dump({"annotations": output_json_annotations}, f)
+        from deva_tpu.metrics.stuff_merging import merge_stuff
+        print("Starting evaluation...")
+        merge_stuff(args.output, args.output)
+        if not args.no_metrics:
+            from functools import partial
+            from multiprocessing import Process
+            from deva_tpu.metrics.eval_stq_vipseg import eval_stq
+            from deva_tpu.metrics.eval_vpq_vipseg import eval_vpq
+            vipseg_root = args.vipseg_root
+            p1 = Process(target=partial(
+                eval_stq, args.output, f"{vipseg_root}/panomasksRGB",
+                f"{vipseg_root}/panoptic_gt_VIPSeg_val.json"))
+            p1.start()
+            eval_vpq(args.output, f"{vipseg_root}/panomasksRGB",
+                     f"{vipseg_root}/panoptic_gt_VIPSeg_val.json",
+                     num_processes=16)
+            p1.join()
 
 
 if __name__ == "__main__":

@@ -60,6 +60,30 @@ def _relabel_equal(dir_a, dir_b, budget=0.02):
         assert frac <= budget, f"{f}: {frac:.2%} pixels differ"
 
 
+def test_batched_online_driver_matches_sequential(two_videos, tmp_path):
+    """ONLINE temporal setting: detection cadence ti % detection_every == 0
+    (reference:evaluation/eval_with_detections.py:225-237); detection_every=2
+    on the 4-frame clip exercises both the incorporate and the block-stepped
+    plain branches of run_group_online."""
+    out_seq = tmp_path / "seq"
+    out_bat = tmp_path / "bat"
+    common = ["--dataset", "demo", "--img_path",
+              str(two_videos / "images"), "--mask_path",
+              str(two_videos / "source"), "--model", "",
+              "--size", "240", "--top_k", "8", "--raise_on_error",
+              "--temporal_setting", "online", "--detection_every", "2"]
+    r1 = _run(["evaluation/eval_with_detections.py", "--output",
+               str(out_seq)] + common)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    r2 = _run(["evaluation/eval_with_detections_batched.py", "--output",
+               str(out_bat), "--batch", "2"] + common)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+
+    for vid in ("vidA", "vidB"):
+        _relabel_equal(str(out_seq / "Annotations" / vid),
+                       str(out_bat / "Annotations" / vid))
+
+
 @pytest.mark.parametrize("lt", [False, True])
 def test_batched_driver_matches_sequential(two_videos, tmp_path, lt):
     out_seq = tmp_path / "seq"

@@ -34,6 +34,27 @@ def test_eval_vos_example():
     assert (m0 > 0).any()
 
 
+def test_eval_with_detections_batched_vipseg_postpipeline():
+    """--dataset vipseg in the batched driver writes the aggregate pred.json
+    and runs the stuff merge, like the sequential driver
+    (reference:evaluation/eval_with_detections.py:254-256,331-336)."""
+    out = _run(["evaluation/eval_with_detections_batched.py",
+                "--dataset", "vipseg",
+                "--img_path", "./example/vipseg/images",
+                "--mask_path", "./example/vipseg/source",
+                "--output", "/tmp/_smoke_vipseg_bat", "--model", "",
+                "--size", "240", "--top_k", "8", "--no_metrics",
+                "--num_voting_frames", "2", "--detection_every", "2",
+                "--raise_on_error"])
+    assert out.returncode == 0, out.stderr[-2000:]
+    with open("/tmp/_smoke_vipseg_bat/pred.json") as f:
+        pred = json.load(f)
+    assert len(pred["annotations"]) == 1
+    assert len(pred["annotations"][0]["annotations"]) == 4
+    anns = os.listdir("/tmp/_smoke_vipseg_bat/pan_pred/12_1mWNahzcsAc")
+    assert len(anns) == 4
+
+
 def test_eval_with_detections_example():
     out = _run(["evaluation/eval_with_detections.py", "--dataset", "demo",
                 "--img_path", "./example/vipseg/images",
