@@ -75,7 +75,9 @@ class FusedStepper:
                 return attend_pallas(key_ring, shr_ring, value_ring, qk, qe,
                                      self.top_k, valid,
                                      return_usage=want_usage)
-        sim = ma.get_similarity(key_ring, shr_ring, qk, qe)
+        sim = ma.get_similarity(key_ring, shr_ring, qk, qe,
+                                precision=ma.similarity_precision(
+                                    self.topk_method))
         if want_usage:
             aff, usage = ma.topk_softmax(sim, self.top_k, valid,
                                          return_usage=True,

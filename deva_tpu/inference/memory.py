@@ -95,7 +95,8 @@ def _bucket_attend(key, shr, value, size, qk, qe, top_k, return_usage,
                    method="auto"):
     cap = key.shape[0]
     valid = jnp.arange(cap) < size
-    sim = ma.get_similarity(key, shr, qk, qe)
+    sim = ma.get_similarity(key, shr, qk, qe,
+                            precision=ma.similarity_precision(method))
     if return_usage:
         aff, usage = ma.topk_softmax(sim, top_k, valid, return_usage=True,
                                      method=method)
@@ -114,7 +115,8 @@ def _bucket_attend_with_long(lt_key, lt_shr, lt_value, lt_size,
     valid = jnp.concatenate([jnp.arange(lcap) < lt_size,
                              jnp.arange(cap) < size])
     sim = ma.get_similarity(jnp.concatenate([lt_key, key], axis=0),
-                            jnp.concatenate([lt_shr, shr], axis=0), qk, qe)
+                            jnp.concatenate([lt_shr, shr], axis=0), qk, qe,
+                            precision=ma.similarity_precision(method))
     aff, usage = ma.topk_softmax(sim, top_k, valid, return_usage=True,
                                  method=method)
     rd = _readout_token_major(aff, jnp.concatenate([lt_value, value], axis=0))

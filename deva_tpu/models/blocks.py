@@ -223,7 +223,14 @@ def _gru_update(values: jnp.ndarray, h: jnp.ndarray, sensory_dim: int):
 
 class SensoryUpdater(nn.Module):
     """Decoder-side multi-scale GRU update of the sensory memory.
-    reference:deva/model/modules.py:121-151."""
+    reference:deva/model/modules.py:121-151.
+
+    Takes all three scales ALREADY area-downsampled to stride 16 (the caller
+    downsamples; the reference downsamples inside, modules.py:130-133 —
+    channelwise area means commute with everything between, so results are
+    identical; hoisting lets the decoder downsample p4 and the 1-channel
+    logits separately instead of materializing a full-resolution 257-channel
+    concat, which cost a large relayout copy in the serving block)."""
     mid_dim: int
     sensory_dim: int
     dtype: Any = jnp.float32
@@ -231,10 +238,8 @@ class SensoryUpdater(nn.Module):
     @nn.compact
     def __call__(self, g16, g8, g4, h):
         g = (GConv2D(self.mid_dim, 1, dtype=self.dtype, name="g16_conv")(g16) +
-             GConv2D(self.mid_dim, 1, dtype=self.dtype, name="g8_conv")(
-                 downsample_groups(g8, 2)) +
-             GConv2D(self.mid_dim, 1, dtype=self.dtype, name="g4_conv")(
-                 downsample_groups(g4, 4)))
+             GConv2D(self.mid_dim, 1, dtype=self.dtype, name="g8_conv")(g8) +
+             GConv2D(self.mid_dim, 1, dtype=self.dtype, name="g4_conv")(g4))
         g = jnp.concatenate([g, h], axis=-1)
         values = GConv2D(self.sensory_dim * 3, 3, dtype=self.dtype,
                          kernel_init=nn.initializers.xavier_normal(),

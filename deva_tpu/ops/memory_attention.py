@@ -29,7 +29,9 @@ import jax.numpy as jnp
 def get_similarity(mk: jnp.ndarray,
                    ms: Optional[jnp.ndarray],
                    qk: jnp.ndarray,
-                   qe: Optional[jnp.ndarray]) -> jnp.ndarray:
+                   qe: Optional[jnp.ndarray],
+                   precision: Optional[jax.lax.Precision] = None
+                   ) -> jnp.ndarray:
     """Pairwise similarity between memory and query tokens.
 
     mk: [N, Ck] memory keys;  ms: [N] shrinkage (or None)
@@ -37,14 +39,21 @@ def get_similarity(mk: jnp.ndarray,
     returns sim: [Q, N]   (query-major: top-k reduces the last axis)
 
     reference:deva/model/memory_utils.py:6-45 (transposed layout).
+
+    precision defaults to HIGHEST: true f32 matmuls (TPU f32 dots otherwise
+    decompose into fewer bf16 passes): similarity ranking feeds a top-k,
+    where precision loss flips near-tie selections and breaks reference
+    parity. The approx-threshold serving path passes HIGH (3-pass bf16,
+    ~1e-6 relative of true f32 — twice the MXU rate; the threshold support
+    is soft there, so near-tie flips at 1e-6 are indistinguishable from the
+    approx drift already bounded by tests/test_topk_drift.py).
     """
     ck = mk.shape[-1]
     mk = mk.astype(jnp.float32)
     qk = qk.astype(jnp.float32)
-    # true f32 matmuls (TPU f32 dots otherwise decompose into fewer bf16
-    # passes at DEFAULT precision): similarity ranking feeds a top-k, where
-    # precision loss flips near-tie selections and breaks reference parity
-    dot = lambda a, b: jax.lax.dot(a, b, precision=jax.lax.Precision.HIGHEST)
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
+    dot = lambda a, b: jax.lax.dot(a, b, precision=precision)
     if qe is not None:
         qe = qe.astype(jnp.float32)
         # [Q, N] = (qe @ mk^2.T); two_ab = 2 (qk*qe) @ mk.T; b_sq rowwise
@@ -66,6 +75,17 @@ def get_similarity(mk: jnp.ndarray,
 
 _DEFAULT_TOPK_METHOD: Optional[str] = None
 
+# recall_target for the approx-threshold approx_max_k. The k-th returned
+# value is a true array value and there are k of them, so it lower-bounds the
+# exact k-th for ANY recall — the threshold support always contains the exact
+# top-k. Lower recall only shrinks the PartialReduce output (the final
+# full-sort of that output dominated the op: 8.4 ms/iter at l=1152/recall
+# 0.95 vs ~0 at l=256/recall 0.8 at the [16,1620,16712] serving shape,
+# scripts/probe_recall.py) at the price of a slightly wider support whose
+# extra entries carry weights no larger than the smallest exact-top-k weight
+# (drift bounded by tests/test_topk_drift.py).
+THRESHOLD_RECALL = 0.8
+
 
 def default_topk_method() -> str:
     """'approx' on TPU, 'exact' elsewhere. jax.lax.top_k over a large token
@@ -84,6 +104,15 @@ def resolve_topk_method(method: Optional[str]) -> str:
         return default_topk_method()
     assert method in ("exact", "approx"), method
     return method
+
+
+def similarity_precision(method: Optional[str]) -> jax.lax.Precision:
+    """Dot precision for get_similarity given the top-k method: exact parity
+    needs true f32 (HIGHEST); the approx-threshold path runs HIGH (see
+    get_similarity docstring)."""
+    return (jax.lax.Precision.HIGH
+            if resolve_topk_method(method) == "approx"
+            else jax.lax.Precision.HIGHEST)
 
 
 def topk_softmax(sim: jnp.ndarray,
@@ -111,7 +140,8 @@ def topk_softmax(sim: jnp.ndarray,
         sim = jnp.where(valid[None, :], sim, -jnp.inf)
     q, n = sim.shape
     if resolve_topk_method(method) == "approx" and n >= 4 * top_k:
-        vals, _ = jax.lax.approx_max_k(sim, top_k)
+        vals, _ = jax.lax.approx_max_k(sim, top_k,
+                                       recall_target=THRESHOLD_RECALL)
         kth = vals[..., -1:]
         row_max = vals[..., :1]
         row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
@@ -178,7 +208,7 @@ def attend(mk: jnp.ndarray,
     mk [N, Ck], ms [N], values [O, N, Cv], qk [Q, Ck], qe [Q, Ck]
     returns out [O, Q, Cv] (f32) and optionally usage [N].
     """
-    sim = get_similarity(mk, ms, qk, qe)
+    sim = get_similarity(mk, ms, qk, qe, precision=similarity_precision(method))
     if return_usage:
         affinity, usage = topk_softmax(sim, top_k, valid, return_usage=True,
                                        method=method)

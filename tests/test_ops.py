@@ -48,7 +48,7 @@ def test_downsample_area_matches_torch(factor):
                                rtol=1e-6, atol=1e-6)
 
 
-@pytest.mark.parametrize("factor", [2, 4])
+@pytest.mark.parametrize("factor", [2, 4, 16])
 def test_upsample_bilinear_matches_torch(factor):
     x = RNG.standard_normal((2, 9, 13, 3)).astype(np.float32)
     ours = np.asarray(upsample_bilinear(jnp.asarray(x), factor))
