@@ -14,37 +14,10 @@ from typing import Any, Optional, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-import jax
-
 from deva_tpu.models.blocks import (DecoderFeatureProcessor, GConv2D,
                                     GroupFeatureFusionBlock, LinearPredictor,
                                     MaskUpsampleBlock, SensoryUpdater,
                                     downsample_groups, fold, unfold)
-
-
-class _PredConv(nn.Module):
-    """The final 1-channel 3x3 f32 prediction conv
-    (reference:deva/model/big_modules.py:189-190 — autocast disabled there,
-    so it stays float32 here too).
-
-    Identical parameters/init to ``nn.Conv(1, (3, 3), name="pred")`` but the
-    kernel is zero-padded to 8 output channels for the convolution and the
-    result sliced back: a 1-channel conv output gets a T(1,128) layout on
-    TPU and ran at 1.3 TFLOP/s (~0.34 ms/frame of the serving block); the
-    padded channels restore a T(8,128) tile. Channel 0 is bit-identical
-    (output channels are independent dot products)."""
-
-    @nn.compact
-    def __call__(self, x):
-        cin = x.shape[-1]
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (3, 3, cin, 1), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (1,), jnp.float32)
-        kp = jnp.pad(kernel, ((0, 0), (0, 0), (0, 0), (0, 7)))
-        y = jax.lax.conv_general_dilated(
-            x.astype(jnp.float32), kp, (1, 1), ((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return y[..., :1] + bias
 
 
 class MaskDecoder(nn.Module):
@@ -87,8 +60,9 @@ class MaskDecoder(nn.Module):
             skips[1], p8)
 
         folded_p4, bo = fold(p4)
-        logits = _PredConv(name="pred")(
-            nn.relu(folded_p4).astype(jnp.float32))
+        logits = nn.Conv(1, (3, 3), padding=((1, 1), (1, 1)),
+                         dtype=jnp.float32, name="pred")(
+                             nn.relu(folded_p4).astype(jnp.float32))
         logits_g = unfold(logits, bo)  # [B,O,4h,4w,1]
 
         new_sensory = sensory

@@ -159,9 +159,30 @@ def main():
             feature_group_count=c)
         return out.reshape(lead + out.shape[-3:])
 
-    for tag, impl in (("old", old_upsample), ("depthwise", depthwise),
-                      ("new_f32", new_f32), ("old_bf16", old_bf16),
-                      ("old2", old_upsample), ("depthwise2", depthwise)):
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def wfirst(x, factor):
+        wts, base = _upsample_axis_stencil(factor)
+
+        def up1(y, axis):
+            n = y.shape[axis]
+            pad_width = [(0, 0)] * y.ndim
+            pad_width[axis] = (1, 1)
+            yp = jnp.pad(y, pad_width, mode="edge")
+            outs = []
+            for p in range(factor):
+                b = int(base[p])
+                t0 = jax.lax.slice_in_dim(yp, 1 + b, 1 + b + n, axis=axis)
+                t1 = jax.lax.slice_in_dim(yp, 2 + b, 2 + b + n, axis=axis)
+                outs.append(float(wts[p, 0]) * t0 + float(wts[p, 1]) * t1)
+            stacked = jnp.stack(outs, axis=axis + 1)
+            new_shape = list(y.shape)
+            new_shape[axis] = n * factor
+            return stacked.reshape(new_shape)
+
+        return up1(up1(x, x.ndim - 2), x.ndim - 3)
+
+    for tag, impl in (("old", old_upsample), ("wfirst", wfirst),
+                      ("old2", old_upsample), ("wfirst2", wfirst)):
         patch(impl)
 
         def dec(c, i):
