@@ -37,11 +37,24 @@ class InferenceCore:
                  variables,
                  config: InferenceConfig,
                  *,
-                 image_feature_store: Optional[ImageFeatureStore] = None):
+                 image_feature_store: Optional[ImageFeatureStore] = None,
+                 obj_mesh=None,
+                 obj_axis: str = "model"):
         self.model = model
         self.variables = variables
         self.cfg = config
         self.mem_every = config.mem_every
+
+        # object-axis (tensor-parallel) sharding over a device mesh: per-
+        # object state is sharded on its O axis and XLA partitions the
+        # grouped decoder/mask-encoder/readout across chips (SURVEY §2.8 TP
+        # row; deva_tpu/parallel/object_sharding.py). Worthwhile only for
+        # large padded object counts (automatic/text mode).
+        self._obj_mesh, self._obj_axis = obj_mesh, obj_axis
+        if obj_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            self.variables = jax.device_put(
+                variables, NamedSharding(obj_mesh, PartitionSpec()))
 
         mc: ModelConfig = model.config
         self._mc = mc
@@ -225,6 +238,15 @@ class InferenceCore:
             assert not hard_mask
             objects = list(range(1, mask.shape[0] + 1))
 
+        if self._obj_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from deva_tpu.parallel.object_sharding import place_object_state
+            place_object_state(self)
+            # frames must join the mesh's device set (a host array is fine,
+            # but a single-device-committed one would clash)
+            image = jax.device_put(
+                image, NamedSharding(self._obj_mesh, PartitionSpec()))
+
         self.curr_ti += 1
         image_ti = self.curr_ti if image_ti_override is None else \
             image_ti_override
@@ -340,6 +362,10 @@ class InferenceCore:
         images = list(images)
         if not images:
             return []
+
+        if self._obj_mesh is not None:
+            from deva_tpu.parallel.object_sharding import place_object_state
+            place_object_state(self)
 
         eligible = (self.memory is not None and self.memory.engaged
                     and self.last_mask is not None
