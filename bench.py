@@ -197,10 +197,27 @@ def bench_train(windows=3, steps_per_window=3, t=8, h=384, w=384,
     return sps, sps * t
 
 
+def _wait_for_backend(attempts=3, wait_s=120):
+    """The tunneled TPU backend can be transiently UNAVAILABLE (relay
+    restarts, orphaned claims). Retry initialization a few times before
+    giving up so a passing outage doesn't zero the recorded bench."""
+    import jax
+    for i in range(attempts):
+        try:
+            return jax.devices()
+        except RuntimeError as e:
+            if i == attempts - 1:
+                raise
+            print(f"backend init failed ({e}); retry {i + 1}/{attempts - 1} "
+                  f"in {wait_s}s", file=sys.stderr)
+            time.sleep(wait_s)
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       "/root/repo/.jax_cache")
+    _wait_for_backend()
     import jax.numpy as jnp
 
     from deva_tpu.config import InferenceConfig, ModelConfig
