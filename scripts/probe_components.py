@@ -151,6 +151,32 @@ def main():
     t_att_g = timed_scan("attention(xla groupmax)", att_xla_gm, qk0) \
         if want("attention") else 0.0
 
+    def att_xla_bf16sim(c, i):
+        # experimental: store the [Q, N] similarity in bf16 (halves its HBM
+        # write+read traffic); threshold/exp read it back upcast.
+        # ACCURACY: ring-level drift on the golden-fixture state is 2.8e-3
+        # relative (vs 6e-4 for the f32-sim approx path) and grows with
+        # |sim| — bf16 quantizes the exponent argument, so relative weight
+        # error ~ 0.4% * |sim - row_max|. Only eligible as a default if the
+        # measured win is large.
+        sim = ma.get_similarity(mk_c, ms_c, c, qe0,
+                                precision=jax.lax.Precision.HIGH)
+        sim = jnp.where(valid_c[None, :], sim, -jnp.inf).astype(jnp.bfloat16)
+        vals, _ = jax.lax.approx_max_k(sim.astype(jnp.float32), k,
+                                       recall_target=0.8)
+        kth, rm = vals[..., -1:], vals[..., :1]
+        rm = jnp.where(jnp.isfinite(rm), rm, 0.0)
+        simf = sim.astype(jnp.float32)
+        e = jnp.where(simf >= kth, jnp.exp(simf - rm), 0.0)
+        aff = e / jnp.maximum(e.sum(-1, keepdims=True), 1e-30)
+        usage = aff.sum(0)
+        out = jnp.einsum("qn,onc->oqc", aff.astype(v_om.dtype), v_om,
+                         preferred_element_type=jnp.float32)
+        return c + 1e-6 * jnp.mean(out).astype(c.dtype)
+
+    t_att_b = timed_scan("attention(xla bf16 sim)", att_xla_bf16sim, qk0) \
+        if want("attention") else 0.0
+
     # decode (segment): readout + sensory + last_mask -> probs
     ms_feats, feat = model.apply(variables, img,
                                  method=DEVANetwork.encode_image)
