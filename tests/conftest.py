@@ -49,6 +49,7 @@ _SLOW_MODULES = {
     "test_ref_drivers_smoke",
     "test_training", "test_train_driver", "test_lt_eviction",
     "test_detection_parity", "test_consensus_associated",
+    "test_object_sharding",
     # HF-model-driven suites (torch forward passes)
     "test_sam_decoder", "test_jax_sam", "test_gdino",
 }
