@@ -142,6 +142,11 @@ class InferenceCore:
     def _ensure_capacity(self) -> None:
         """(Re)size the padded object axis to hold num_obj slots."""
         need = self.cfg.pad_objects(max(1, self.object_manager.num_obj))
+        if self._obj_mesh is not None:
+            # object-axis sharding: explicit device_put shardings need the
+            # O dim divisible by the 'model' axis size
+            m = self._obj_mesh.shape[self._obj_axis]
+            need = -(-need // m) * m
         if self.memory is None:
             self.memory = MemoryEngine(self.cfg, self._mc.value_dim,
                                        self._mc.key_dim, self._mc.value_dim,

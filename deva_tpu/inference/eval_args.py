@@ -58,6 +58,11 @@ def add_common_eval_args(parser: ArgumentParser) -> None:
     parser.add_argument("--ring_dtype", default=None,
                         help="memory ring dtype (float32/bfloat16; defaults "
                         "to bfloat16 with --amp)")
+    parser.add_argument("--obj_shards", type=int, default=1,
+                        help="shard the object axis over this many devices "
+                        "('model' mesh axis; XLA partitions the grouped "
+                        "decoder/mask-encoder). Worthwhile only for large "
+                        "object counts (automatic/text mode)")
     parser.add_argument("--profile", default=None, metavar="DIR",
                         help="write a jax.profiler trace of the whole run to "
                         "DIR (view with tensorboard / xprof)")
@@ -140,6 +145,18 @@ def make_inference_config(args, **overrides) -> InferenceConfig:
     )
     kw.update(overrides)
     return InferenceConfig(**kw)
+
+
+def obj_mesh_from_args(args):
+    """-> a 1 x obj_shards ('data', 'model') Mesh for object-axis sharding
+    (deva_tpu/parallel/object_sharding.py), or None when --obj_shards 1."""
+    n = getattr(args, "obj_shards", 1)
+    if n <= 1:
+        return None
+    assert len(jax.devices()) >= n, \
+        f"--obj_shards {n} needs {n} devices, have {len(jax.devices())}"
+    from deva_tpu.parallel.mesh import make_mesh
+    return make_mesh(1, n)
 
 
 def load_variables(model: DEVANetwork, model_path: str):

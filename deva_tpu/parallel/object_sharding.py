@@ -54,21 +54,29 @@ def place_object_state(core) -> None:
     if mesh is None:
         return
     rep, o_first, o_second = object_specs(mesh, axis)
+    n_shards = mesh.shape[axis]
     put = jax.device_put
+
+    def put_obj(x, obj_dim, spec):
+        # explicit shardings need divisibility; the core rounds o_cap up to
+        # the axis size (_ensure_capacity), but state built before the mesh
+        # was attached (or with exotic pad buckets) falls back to replicated
+        return put(x, spec if x.shape[obj_dim] % n_shards == 0 else rep)
+
     if core.last_mask is not None:
-        core.last_mask = put(core.last_mask, o_first)
+        core.last_mask = put_obj(core.last_mask, 0, o_first)
     mem = core.memory
     if mem is None:
         return
     if mem.sensory is not None:
-        mem.sensory = put(mem.sensory, o_first)
+        mem.sensory = put_obj(mem.sensory, 0, o_first)
     for store in (mem.buckets, mem.long_buckets):
         for b in store.values():
             b.key = put(b.key, rep)
             b.shrinkage = put(b.shrinkage, rep)
             if getattr(b, "selection", None) is not None:
                 b.selection = put(b.selection, rep)
-            b.value = put(b.value, o_second)
+            b.value = put_obj(b.value, 1, o_second)
             if b.use_cnt is not None:
                 b.use_cnt = put(b.use_cnt, rep)
                 b.life_cnt = put(b.life_cnt, rep)

@@ -53,6 +53,8 @@ def main():
     parser.add_argument("--flip", action="store_true")
     add_common_eval_args(parser)
     model, variables, base_cfg, args = get_model_and_config(parser)
+    from deva_tpu.inference.eval_args import obj_mesh_from_args
+    obj_mesh = obj_mesh_from_args(args)
     args.dataset = args.dataset.upper()
 
     if args.output is None:
@@ -110,7 +112,8 @@ def main():
         cfg = dataclasses.replace(base_cfg,
                                   enable_long_term_count_usage=count_usage)
 
-        processor = InferenceCore(model, variables, cfg)
+        processor = InferenceCore(model, variables, cfg,
+                                  obj_mesh=obj_mesh)
         first_mask_loaded = False
         print(f"{vid_name} ({vid_length} frames)")
 

@@ -68,6 +68,8 @@ def main():
     parser.add_argument("--postprocess_limit_max_id", type=int, default=20)
     add_common_eval_args(parser)
     model, variables, base_cfg, args = get_model_and_config(parser)
+    from deva_tpu.inference.eval_args import obj_mesh_from_args
+    obj_mesh = obj_mesh_from_args(args)
 
     temporal_setting = args.temporal_setting.lower()
     assert temporal_setting in ("semionline", "online")
@@ -125,7 +127,8 @@ def main():
         cfg = dataclasses.replace(base_cfg,
                                   enable_long_term_count_usage=count_usage)
 
-        processor = InferenceCore(model, variables, cfg)
+        processor = InferenceCore(model, variables, cfg,
+                                  obj_mesh=obj_mesh)
         result_saver = ResultSaver(out_path, vid_name, dataset=dataset_name,
                                    palette=vid_reader.palette,
                                    object_manager=processor.object_manager)
