@@ -32,6 +32,8 @@ def main():
     add_ext_eval_args(parser)
     add_auto_default_args(parser)
     model, variables, cfg, args = get_model_and_config(parser)
+    from deva_tpu.inference.eval_args import apply_obj_sharding
+    obj_mesh, variables = apply_obj_sharding(args, variables)
 
     generator = build_auto_generator(args)
     ext_cfg = vars(args)
@@ -49,7 +51,7 @@ def main():
         max_missed_detection_count=args.max_missed_detection_count,
         max_num_objects=args.max_num_objects)
 
-    deva = InferenceCore(model, variables, cfg)
+    deva = InferenceCore(model, variables, cfg, obj_mesh=obj_mesh)
     deva.enabled_long_id()
     result_saver = ResultSaver(out_path, None, dataset="demo",
                                object_manager=deva.object_manager)

@@ -35,7 +35,7 @@ from deva_tpu.inference.result_saver import ResultSaver
 
 def track_video(model, variables, cfg, ext_cfg, detector, video_path: str,
                 out_dir: str, max_frames: int = -1,
-                process_fn=None, progress=None) -> str:
+                process_fn=None, progress=None, obj_mesh=None) -> str:
     """Decode -> track -> encode with per-frame progress (the reference
     drives a tqdm over the estimated frame count,
     reference:demo/demo_gradio.py:60-85). Returns the output video path."""
@@ -56,7 +56,7 @@ def track_video(model, variables, cfg, ext_cfg, detector, video_path: str,
         cfg.num_prototypes) >= cfg.max_long_term_elements)
     cfg = dataclasses.replace(cfg, enable_long_term_count_usage=count_usage)
 
-    deva = InferenceCore(model, variables, cfg)
+    deva = InferenceCore(model, variables, cfg, obj_mesh=obj_mesh)
     deva.enabled_long_id()
     result_saver = ResultSaver(out_dir, None, dataset="gradio",
                                object_manager=deva.object_manager)
@@ -103,6 +103,8 @@ def main():
     add_ext_eval_args(parser)
     add_text_default_args(parser)
     model, variables, cfg, args = get_model_and_config(parser)
+    from deva_tpu.inference.eval_args import apply_obj_sharding
+    obj_mesh, variables = apply_obj_sharding(args, variables)
     cfg = dataclasses.replace(
         cfg, detection_every=args.detection_every,
         num_voting_frames=args.num_voting_frames,
@@ -141,7 +143,7 @@ def main():
             with tempfile.TemporaryDirectory() as d:
                 return track_video(model, variables, c, e, detector,
                                    video, d, int(max_frames),
-                                   progress=progress)
+                                   progress=progress, obj_mesh=obj_mesh)
 
         def run_auto(video, iou_threshold, points_per_side, size, det_every,
                      max_missed, temporal, sam_variant, suppress_small,
@@ -168,7 +170,7 @@ def main():
                 return track_video(
                     model, variables, c, e, generator, video, d,
                     int(max_frames), process_fn=process_frame_automatic,
-                    progress=progress)
+                    progress=progress, obj_mesh=obj_mesh)
 
         common = lambda: [
             gr.Slider(384, 1080, value=480, step=1,
@@ -215,7 +217,8 @@ def main():
     else:
         assert args.video, "--video is required in CLI mode"
         out = track_video(model, variables, cfg, ext_cfg, detector,
-                          args.video, args.output, args.max_frames)
+                          args.video, args.output, args.max_frames,
+                          obj_mesh=obj_mesh)
         print(f"Output video: {out}")
 
 

@@ -145,8 +145,8 @@ class InferenceCore:
         if self._obj_mesh is not None:
             # object-axis sharding: explicit device_put shardings need the
             # O dim divisible by the 'model' axis size
-            m = self._obj_mesh.shape[self._obj_axis]
-            need = -(-need // m) * m
+            from deva_tpu.inference.memory import _round_up
+            need = _round_up(need, self._obj_mesh.shape[self._obj_axis])
         if self.memory is None:
             self.memory = MemoryEngine(self.cfg, self._mc.value_dim,
                                        self._mc.key_dim, self._mc.value_dim,
@@ -163,6 +163,19 @@ class InferenceCore:
                 self.last_mask = jnp.pad(self.last_mask,
                                          ((0, grow), (0, 0), (0, 0)))
             self.o_cap = need
+
+    def _place_for_obj_mesh(self, image=None):
+        """Object-axis sharding upkeep: re-place per-object state (heals
+        host-side rebuilds) and move the incoming frame onto the mesh's
+        device set (a host array is fine, but a single-device-committed one
+        would clash inside the jitted step). Returns the placed frame."""
+        from jax.sharding import NamedSharding, PartitionSpec
+        from deva_tpu.parallel.object_sharding import place_object_state
+        place_object_state(self)
+        if image is None:
+            return None
+        return jax.device_put(
+            image, NamedSharding(self._obj_mesh, PartitionSpec()))
 
     def _selector(self) -> jnp.ndarray:
         n = self.object_manager.num_obj
@@ -244,13 +257,7 @@ class InferenceCore:
             objects = list(range(1, mask.shape[0] + 1))
 
         if self._obj_mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-            from deva_tpu.parallel.object_sharding import place_object_state
-            place_object_state(self)
-            # frames must join the mesh's device set (a host array is fine,
-            # but a single-device-committed one would clash)
-            image = jax.device_put(
-                image, NamedSharding(self._obj_mesh, PartitionSpec()))
+            image = self._place_for_obj_mesh(image)
 
         self.curr_ti += 1
         image_ti = self.curr_ti if image_ti_override is None else \
@@ -369,8 +376,7 @@ class InferenceCore:
             return []
 
         if self._obj_mesh is not None:
-            from deva_tpu.parallel.object_sharding import place_object_state
-            place_object_state(self)
+            images = [self._place_for_obj_mesh(img) for img in images]
 
         eligible = (self.memory is not None and self.memory.engaged
                     and self.last_mask is not None
@@ -536,6 +542,9 @@ class InferenceCore:
         state. Returns aggregated logits [1 + num_obj, H, W], unpadded.
         reference:deva/inference/inference_core.py:137-198."""
         from deva_tpu.inference.segment_merging import match_and_merge
+
+        if self._obj_mesh is not None:
+            image = self._place_for_obj_mesh(image)
 
         self.curr_ti += 1
         image_ti = self.curr_ti if image_ti_override is None else \

@@ -159,6 +159,27 @@ def obj_mesh_from_args(args):
     return make_mesh(1, n)
 
 
+def apply_obj_sharding(args, variables):
+    """-> (obj_mesh or None, variables). Builds the object-sharding mesh and
+    replicates the weights over it ONCE, so each per-video
+    InferenceCore(obj_mesh=...) device_put is a metadata no-op instead of a
+    full weight-tree transfer."""
+    mesh = obj_mesh_from_args(args)
+    if mesh is not None:
+        from deva_tpu.parallel.mesh import replicate
+        variables = replicate(mesh, variables)
+    return mesh, variables
+
+
+def reject_obj_sharding(args, driver: str) -> None:
+    """Drivers whose hot path is the batched propagator (video-axis mesh)
+    don't support --obj_shards; fail loudly instead of silently ignoring."""
+    if getattr(args, "obj_shards", 1) > 1:
+        raise SystemExit(f"{driver} does not support --obj_shards (its "
+                         "batched propagator shards the video axis); use "
+                         "the sequential driver for object-axis sharding")
+
+
 def load_variables(model: DEVANetwork, model_path: str):
     """Load weights: a reference torch .pth (converted on the fly) or a
     deva_tpu .npz export. Falls back to random init with a warning."""

@@ -94,8 +94,15 @@ def attend_mem_sharded(mk: jnp.ndarray,
                        return_usage: bool = False
                        ) -> Union[jnp.ndarray,
                                   Tuple[jnp.ndarray, jnp.ndarray]]:
-    """Drop-in for deva_tpu.ops.memory_attention.attend with the memory
-    token axis sharded over `mesh`'s `axis`.
+    """deva_tpu.ops.memory_attention.attend with the memory token axis
+    sharded over `mesh`'s `axis`.
+
+    Semantics caveat: both methods use THRESHOLD support (sim >= global
+    k-th), so exact f32 ties at the k-th value all enter the softmax,
+    whereas the unsharded 'exact' scatter path keeps exactly k entries.
+    Identical outputs (up to psum summation order) whenever the k-th value
+    is unique per query row; duplicated memory keys (bitwise-identical
+    frames) can differ.
 
     mk [N, Ck], ms [N] or None, values [O, N, Cv], qk [Q, Ck],
     qe [Q, Ck] or None, valid [N] bool. N must be a multiple of the axis
@@ -107,6 +114,7 @@ def attend_mem_sharded(mk: jnp.ndarray,
     d = mesh.shape[axis]
     assert n % d == 0, (n, d)
     assert top_k <= n // d, "top_k must fit in one shard's tokens"
+    method = ma.resolve_topk_method(method)  # 'auto'/None -> backend default
     has_ms, has_qe = ms is not None, qe is not None
     # placeholders keep the shard_map signature static; the body ignores
     # them when has_ms/has_qe are False

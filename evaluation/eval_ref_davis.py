@@ -53,7 +53,8 @@ def run_bidirectional(model, variables, base_cfg, *, meta_dataset, vid_name,
         cfg = dataclasses.replace(base_cfg,
                                   enable_long_term_count_usage=count_usage)
         processor = InferenceCore(model, variables, cfg,
-                                  image_feature_store=image_feature_store)
+                                  image_feature_store=image_feature_store,
+                                  obj_mesh=obj_mesh)
         with Prefetcher(vid_reader) as prefetch:
             for ti, data in enumerate(prefetch):
                 info = data["info"]
@@ -80,6 +81,8 @@ def main():
     parser.add_argument("--num_voting_frames", type=int, default=5)
     add_common_eval_args(parser)
     model, variables, base_cfg, args = get_model_and_config(parser)
+    from deva_tpu.inference.eval_args import apply_obj_sharding
+    obj_mesh, variables = apply_obj_sharding(args, variables)
 
     out_path = args.output
     meta_dataset = ReferringDAVISTestDataset(args.img_path, args.mask_path,
@@ -89,7 +92,8 @@ def main():
     for vid_name in meta_dataset.get_videos():
         with video_fault_barrier(vid_name, args.raise_on_error):
             video_scores = meta_dataset.get_scores(vid_name)
-            store_core = InferenceCore(model, variables, base_cfg)
+            store_core = InferenceCore(model, variables, base_cfg,
+                                       obj_mesh=obj_mesh)
             image_feature_store = store_core.image_feature_store
 
             vid_reader = meta_dataset.get_offline_sampled_frames(

@@ -45,6 +45,8 @@ def main():
     parser.add_argument("--num_voting_frames", type=int, default=10)
     add_common_eval_args(parser)
     model, variables, base_cfg, args = get_model_and_config(parser)
+    from deva_tpu.inference.eval_args import apply_obj_sharding
+    obj_mesh, variables = apply_obj_sharding(args, variables)
 
     out_path = args.output
     meta_dataset = ReferringYouTubeVOSTestDataset(args.img_path,
@@ -59,7 +61,8 @@ def main():
         with video_fault_barrier(vid_name, args.raise_on_error):
             objects = meta_dataset.get_objects(vid_name)
             video_scores = meta_dataset.get_scores(vid_name)
-            shared_core = InferenceCore(model, variables, base_cfg)
+            shared_core = InferenceCore(model, variables, base_cfg,
+                                        obj_mesh=obj_mesh)
             image_feature_store = shared_core.image_feature_store
 
             for object_name in objects:
@@ -97,7 +100,8 @@ def main():
                         base_cfg, enable_long_term_count_usage=count_usage)
                     processor = InferenceCore(
                         model, variables, cfg,
-                        image_feature_store=image_feature_store)
+                        image_feature_store=image_feature_store,
+                        obj_mesh=obj_mesh)
                     with Prefetcher(reader, stop=vid_length) as prefetch:
                         for ti, data in enumerate(prefetch):
                             info = data["info"]

@@ -53,8 +53,8 @@ def main():
     parser.add_argument("--flip", action="store_true")
     add_common_eval_args(parser)
     model, variables, base_cfg, args = get_model_and_config(parser)
-    from deva_tpu.inference.eval_args import obj_mesh_from_args
-    obj_mesh = obj_mesh_from_args(args)
+    from deva_tpu.inference.eval_args import apply_obj_sharding
+    obj_mesh, variables = apply_obj_sharding(args, variables)
     args.dataset = args.dataset.upper()
 
     if args.output is None:

@@ -275,6 +275,8 @@ def main():
                         help="videos per lockstep group")
     add_common_eval_args(parser)
     model, variables, base_cfg, args = get_model_and_config(parser)
+    from deva_tpu.inference.eval_args import reject_obj_sharding
+    reject_obj_sharding(args, 'eval_vos_batched')
     args.dataset = args.dataset.upper()
     assert args.output is not None, "--output is required"
 

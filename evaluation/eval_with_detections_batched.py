@@ -367,6 +367,8 @@ def main():
     parser.add_argument("--vipseg_root", default="../VIPSeg/VIPSeg_720P")
     add_common_eval_args(parser)
     model, variables, base_cfg, args = get_model_and_config(parser)
+    from deva_tpu.inference.eval_args import reject_obj_sharding
+    reject_obj_sharding(args, 'eval_with_detections_batched')
     dataset_name = args.dataset.lower()
     assert dataset_name in ("vipseg", "demo")
     temporal_setting = args.temporal_setting.lower()
