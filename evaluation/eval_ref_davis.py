@@ -36,7 +36,8 @@ from deva_tpu.utils.palette import davis_palette
 
 def run_bidirectional(model, variables, base_cfg, *, meta_dataset, vid_name,
                       keyframe_ti, projected_mask, time_indices, out_path,
-                      image_feature_store, save_fn, reader_args=()):
+                      image_feature_store, save_fn, reader_args=(),
+                      obj_mesh=None):
     """Backward (keyframe -> 0, reversed) then forward propagation.
     reference:eval_ref_davis.py:89-155."""
     stats = {"time": 0.0, "frames": 0}
@@ -131,7 +132,7 @@ def main():
                 vid_name=vid_name, keyframe_ti=keyframe_ti,
                 projected_mask=projected_mask, time_indices=time_indices,
                 out_path=out_path, image_feature_store=image_feature_store,
-                save_fn=save_fn)
+                save_fn=save_fn, obj_mesh=obj_mesh)
             for _, rs in result_savers:
                 rs.end()
             total_time += stats["time"]
