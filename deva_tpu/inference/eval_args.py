@@ -97,6 +97,12 @@ class video_fault_barrier:
         print(e)
         if self.reraise:
             return False
+        if etype in (NameError, AttributeError, ImportError, SyntaxError,
+                     TypeError):
+            # programming errors hit every video identically — swallowing
+            # them yields an exit-0 run with no output (a NameError hidden
+            # this way cost a debugging round; see git d38abf5)
+            return False
         import traceback
         traceback.print_exc()
         self.failed = True

@@ -177,3 +177,22 @@ class _nullcontext:
 
     def __exit__(self, *a):
         return False
+
+
+def test_fault_barrier_reraises_programming_errors():
+    """Per-video fault isolation swallows data errors (one poisoned video
+    must not kill a benchmark run) but re-raises programming errors, which
+    hit every video identically — swallowing a NameError once produced an
+    exit-0 run with no output (eval_ref_davis obj_mesh scoping bug)."""
+    from deva_tpu.inference.eval_args import video_fault_barrier
+
+    with video_fault_barrier("vid"):
+        raise ValueError("bad frame data")  # swallowed
+
+    import pytest as _pytest
+    with _pytest.raises(NameError):
+        with video_fault_barrier("vid"):
+            raise NameError("undefined")
+    with _pytest.raises(ValueError):
+        with video_fault_barrier("vid", reraise=True):
+            raise ValueError("raise_on_error")
