@@ -296,11 +296,19 @@ def run_group(model, variables, cfg, group, args, dataset_name) -> int:
                 fwd = bp.forward_probs([b.image for b in buf0s])
                 bp.detach()
                 attached = False
+            # the per-video votes (spatial alignment launches + joint-hist
+            # IoU + ILP) are independent: run them in a thread pool so one
+            # video's host-side ILP overlaps another's device work
+            # (SURVEY §7 hard part 4: overlap consensus with propagation
+            # without changing the per-video sequential semantics)
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(min(4, len(states))) as pool:
+                votes = list(pool.map(
+                    lambda vs: vs.core.vote_in_temporary_buffer(
+                        keyframe_selection="first"), states))
             for vi, vs in enumerate(states):
                 buf0 = buf0s[vi]
-                _, consensus_mask, consensus_info = \
-                    vs.core.vote_in_temporary_buffer(
-                        keyframe_selection="first")
+                _, consensus_mask, consensus_info = votes[vi]
                 fm = None
                 if fwd is not None:
                     n = vs.core.object_manager.num_obj
