@@ -359,7 +359,7 @@ class BatchedPropagator:
 
         # append prototypes at each video's LT cursor (growing the lazy
         # capacity when the batch max approaches it)
-        p = cfg.num_prototypes
+        p = proto_key.shape[1]  # == num_prototypes unless window-clamped
         lcap = self.lt_key.shape[1]
         if int(self.lt_sizes.max()) + p > lcap:
             max_cap = _round_up(cfg.max_long_term_elements, p)

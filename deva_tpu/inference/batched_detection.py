@@ -97,6 +97,16 @@ class BatchedDetectionPropagator:
         for c in cores:
             assert c.memory is not None and c.memory.engaged
             assert c.memory.use_long_term == self.use_lt
+            # lockstep state is stacked into shared-shape arrays: a core
+            # with a different padded resolution / dims / ring dtype would
+            # silently advance sizes in the wrong hw quantum
+            assert c.memory.hw == cores[0].memory.hw, \
+                "all videos in a batch must share the padded resolution"
+            assert (c.memory.ck, c.memory.cv) == (cores[0].memory.ck,
+                                                  cores[0].memory.cv)
+            assert (list(c.memory.buckets.values())[0].key.dtype ==
+                    list(cores[0].memory.buckets.values())[0].key.dtype), \
+                "all videos in a batch must share the ring dtype"
         self.o_cap = max(c.o_cap for c in cores)
         n_slots = _slot_bucket(max(len(c.memory.buckets) for c in cores))
         self.n_slots = n_slots
@@ -219,18 +229,20 @@ class BatchedDetectionPropagator:
             for si, bid in enumerate(self._slot_bids[vi]):
                 bk = c.memory.buckets[bid]
                 need = int(self.sizes[vi, si])
-                if need > bk.cap:
-                    bk.ensure_capacity(need - bk.size, self.hw,
+                # plan (not ensure): fit() overwrites every ring anyway, so
+                # padding the old arrays first would be a dead copy
+                cap = bk.plan_capacity(need - bk.size, self.hw,
                                        limit=(c.memory.max_work_tokens
-                                              if self.use_lt else None))
-                bk.key = fit(self.key[vi, si], bk.cap)
-                bk.shrinkage = fit(self.shr[vi, si], bk.cap)
-                bk.value = fit(self.value[vi, si, :, :bk.o_cap], bk.cap)
+                                              if self.use_lt else None)) \
+                    if need > bk.cap else bk.cap
+                bk.key = fit(self.key[vi, si], cap)
+                bk.shrinkage = fit(self.shr[vi, si], cap)
+                bk.value = fit(self.value[vi, si, :, :bk.o_cap], cap)
                 bk.size = need
                 if self.use_lt:
-                    bk.selection = fit(self.sel[vi, si], bk.cap)
-                    bk.use_cnt = fit(self.use_cnt[vi, si], bk.cap)
-                    bk.life_cnt = fit(self.life_cnt[vi, si], bk.cap)
+                    bk.selection = fit(self.sel[vi, si], cap)
+                    bk.use_cnt = fit(self.use_cnt[vi, si], cap)
+                    bk.life_cnt = fit(self.life_cnt[vi, si], cap)
                     lt_size = int(self.lt_sizes[vi, si])
                     lt = c.memory.long_buckets.get(bid)
                     if lt is None and lt_size > 0:
@@ -242,24 +254,15 @@ class BatchedDetectionPropagator:
                             dtype=self._ring_dtype)
                         c.memory.long_buckets[bid] = lt
                     if lt is not None:
-                        if lt_size > lt.cap:
-                            p = self.cfg.num_prototypes
-                            grow = _round_up(lt_size, p) - lt.cap
-                            pad2 = ((0, grow),)
-                            lt.key = jnp.pad(lt.key, pad2 + ((0, 0),))
-                            lt.shrinkage = jnp.pad(lt.shrinkage, pad2)
-                            lt.value = jnp.pad(lt.value,
-                                               pad2 + ((0, 0), (0, 0)))
-                            if lt.use_cnt is not None:
-                                lt.use_cnt = jnp.pad(lt.use_cnt, pad2)
-                                lt.life_cnt = jnp.pad(lt.life_cnt, pad2)
-                        lt.key = fit(self.lt_key[vi, si], lt.cap)
-                        lt.shrinkage = fit(self.lt_shr[vi, si], lt.cap)
+                        lcap = lt.cap if lt_size <= lt.cap else \
+                            _round_up(lt_size, self.cfg.num_prototypes)
+                        lt.key = fit(self.lt_key[vi, si], lcap)
+                        lt.shrinkage = fit(self.lt_shr[vi, si], lcap)
                         lt.value = fit(self.lt_value[vi, si, :, :lt.o_cap],
-                                       lt.cap)
+                                       lcap)
                         if lt.use_cnt is not None:
-                            lt.use_cnt = fit(self.lt_use[vi, si], lt.cap)
-                            lt.life_cnt = fit(self.lt_life[vi, si], lt.cap)
+                            lt.use_cnt = fit(self.lt_use[vi, si], lcap)
+                            lt.life_cnt = fit(self.lt_life[vi, si], lcap)
                         lt.size = lt_size
             c.memory.update_sensory(self.sensory[vi, :c.o_cap])
             c.last_mask = self.last_mask[vi, :c.o_cap]
@@ -393,15 +396,23 @@ class BatchedDetectionPropagator:
         return fn
 
     def _block_body(self, n_slots: int, n_read: int, write_last: bool,
-                    pads, masked_write: bool = False):
+                    pads, masked_write: bool = False, end: bool = False):
         """n_read read-only frames via lax.scan (the rings are
         loop-invariant, so the carry is only sensory/last_mask and the
         usage counters) plus optionally ONE trailing (possibly masked)
         memory-write frame — one compiled launch per memory period, same
-        structure as FusedStepper._raw_block. frames: [K, H, W, 3]."""
+        structure as FusedStepper._raw_block. frames: [K, H, W, 3].
+
+        end=True freezes sensory on the block's LAST frame (the reference's
+        end-of-video semantics, update_sensory = not is_last; cannot combine
+        with write_last — step() never writes memory on an end frame)."""
         read = self._body(n_slots, False, True, pads, False)
         write = self._body(n_slots, True, True, pads, masked_write) \
             if write_last else None
+        assert not (end and write_last)
+        read_end = self._body(n_slots, False, False, pads, False) \
+            if end else None
+        n_scan = n_read - 1 if end else n_read
 
         def fn(frames, do_write, num_obj, keys, shrs, sels, values, use,
                life, lt_keys, lt_shrs, lt_values, lt_use, lt_life, sizes,
@@ -418,11 +429,20 @@ class BatchedDetectionPropagator:
                     prob
 
             carry = (sensory, last_mask, use, life, lt_use, lt_life)
-            if n_read > 0:
-                carry, probs = jax.lax.scan(body, carry, frames[:n_read])
+            if n_scan > 0:
+                carry, probs = jax.lax.scan(body, carry, frames[:n_scan])
             else:
                 probs = None
             sensory, last_mask, use, life, lt_use, lt_life = carry
+            if end:
+                (prob_e, sensory, last_mask, _k, _s, _sel, _v, use, life,
+                 lt_use, lt_life) = read_end(
+                    frames[n_scan], do_write, num_obj, keys, shrs, sels,
+                    values, use, life, lt_keys, lt_shrs, lt_values, lt_use,
+                    lt_life, sizes, lt_sizes, rowmaps, rowcnt, sensory,
+                    last_mask, variables)
+                probs = prob_e[None] if probs is None else \
+                    jnp.concatenate([probs, prob_e[None]], 0)
             if write_last:
                 (prob_w, sensory, last_mask, keys, shrs, sels, values, use,
                  life, lt_use, lt_life) = write(
@@ -475,12 +495,12 @@ class BatchedDetectionPropagator:
         return self._fns[keyk]
 
     def _block_fn(self, n_read: int, write_last: bool, pads,
-                  masked_write: bool = False):
+                  masked_write: bool = False, end: bool = False):
         keyk = ("block", self.n_slots, n_read, write_last, pads,
-                masked_write)
+                masked_write, end)
         if keyk not in self._fns:
             body = self._block_body(self.n_slots, n_read, write_last, pads,
-                                    masked_write)
+                                    masked_write, end)
             axes = (0,) * 20 + (None,)
             self._fns[keyk] = jax.jit(
                 jax.vmap(body, in_axes=axes),
@@ -618,7 +638,7 @@ class BatchedDetectionPropagator:
             jnp.ones((b,), bool)
         sel, use, life, ltk, lts, ltv, ltu, ltl, lt_sizes = self._lt_args()
         fn = self._block_fn(k - 1 if write_last else k, write_last, pads,
-                            masked)
+                            masked, end=end)
         args = self._shard(
             (frames, do_write, self.num_obj, self.key, self.shr, sel,
              self.value, use, life, ltk, lts, ltv, ltu, ltl,
@@ -741,7 +761,7 @@ class BatchedDetectionPropagator:
         # append prototypes at each pair's LT cursor (growing capacity as
         # the max cursor approaches it — lazy, same policy as
         # MemoryEngine._compress)
-        p = cfg.num_prototypes
+        p = proto_key.shape[1]  # == num_prototypes unless window-clamped
         lcap = self.lt_key.shape[2]
         if int(self.lt_sizes[vis, sis].max()) + p > lcap:
             max_cap = _round_up(cfg.max_long_term_elements, p)

@@ -136,7 +136,13 @@ def _consolidate_prototypes(cand_key, cand_shr, cand_sel, cand_value,
     """Select top-usage prototypes and potentiate: full-softmax readout of the
     candidate values at the prototype queries.
     reference:memory_manager.py:251-276. cand_value is token-major [N, O, Cv];
-    the returned prototype values are token-major [P, O, Cv]."""
+    the returned prototype values are token-major [P, O, Cv].
+
+    P is clamped to the candidate-window size: tiny frames can make
+    (T_max - T_min) * hw < num_prototypes, where an unclamped top_k is a
+    hard error (the reference's torch.topk fails the same way; clamping is
+    strictly more robust and identical whenever the window fits)."""
+    num_prototypes = min(num_prototypes, cand_usage.shape[0])
     _, idx = jax.lax.top_k(cand_usage, num_prototypes)
     proto_key = cand_key[idx]              # [P, Ck]
     proto_sel = cand_sel[idx]              # [P, Ck]
@@ -179,10 +185,12 @@ class Bucket:
     def cap(self) -> int:
         return self.key.shape[0]
 
-    def ensure_capacity(self, extra: int, quantum: int,
-                        limit: Optional[int] = None) -> None:
+    def plan_capacity(self, extra: int, quantum: int,
+                       limit: Optional[int] = None) -> int:
+        """Target capacity for `ensure_capacity`, without copying arrays
+        (used by detach paths that overwrite the rings anyway)."""
         if self.size + extra <= self.cap:
-            return
+            return self.cap
         new_cap = max(self.cap * 2, _round_up(self.size + extra, quantum))
         new_cap = _round_up(new_cap, quantum)
         if limit is not None:
@@ -191,6 +199,13 @@ class Bucket:
             # cost similarity FLOPs).
             new_cap = min(new_cap, max(_round_up(limit, quantum),
                                        self.size + extra))
+        return new_cap
+
+    def ensure_capacity(self, extra: int, quantum: int,
+                        limit: Optional[int] = None) -> None:
+        new_cap = self.plan_capacity(extra, quantum, limit)
+        if new_cap == self.cap:
+            return
         self.key = _grow(self.key, new_cap, 0)
         self.shrinkage = _grow(self.shrinkage, new_cap, 0)
         if self.selection is not None:
@@ -388,7 +403,7 @@ class MemoryEngine:
         b.size = new_size
 
         lt = self.long_buckets.get(bid)
-        p = self.cfg.num_prototypes
+        p = proto_key.shape[0]  # == num_prototypes unless window-clamped
         if lt is None:
             # allocate LAZILY: every frame's attention pays similarity +
             # readout FLOPs over the full ring capacity (masked slots
@@ -422,6 +437,12 @@ class MemoryEngine:
         survivors in original order. reference:kv_memory_store.py:164-185
         (strictly-greater threshold semantics preserved)."""
         lt = self.long_buckets[bid]
+        assert lt.use_cnt is not None and lt.life_cnt is not None, (
+            "long-term memory saturated but usage counting is off "
+            "(enable_long_term_count_usage=False) — eviction needs usage "
+            "statistics; the eval drivers enable counting for videos long "
+            "enough to saturate (reference:kv_memory_store.py:169 raises "
+            "'I did not count usage!' at the same point)")
         usage = np.asarray(lt.use_cnt / lt.life_cnt)[:lt.size]
         k = lt.size - max_size
         if k <= 0:

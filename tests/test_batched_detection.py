@@ -453,3 +453,51 @@ def test_multibucket_mesh_equals_unsharded():
     for a, o in zip(ref_out, mesh_out):
         bad = (np.abs(o - a) > 5e-3).any(axis=1)
         assert bad.mean() <= 0.02, f"{bad.mean():.2%} pixels differ"
+
+
+def test_step_block_end_freezes_sensory():
+    """step_block(end=True) must freeze sensory on the final frame exactly
+    like per-frame step_all(end=True) (reference end-of-video semantics:
+    update_sensory = not is_last_frame)."""
+    model = DEVANetwork(ModelConfig(pix_feat_dim=64, key_dim=16,
+                                    value_dim=32))
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)),
+                           jnp.zeros((1, 1, 32, 32)),
+                           jnp.zeros((1, 1, 2, 2, 32)))
+    cfg = InferenceConfig(mem_every=5, top_k=4, enable_long_term=False,
+                          max_missed_detection_count=5, topk_method="exact")
+    t = 4
+    rng = np.random.default_rng(43)
+    vids = [_video(rng, t), _video(rng, t)]
+
+    def make_cores():
+        cores = []
+        for frames, det_masks, det_infos in vids:
+            core = InferenceCore(model, variables, cfg)
+            core.enabled_long_id()
+            core.incorporate_detection(frames[0], det_masks[0],
+                                       _segs(det_infos[0]))
+            cores.append(core)
+        return cores
+
+    cores_a = make_cores()
+    bp_a = BatchedDetectionPropagator(model, variables, cfg)
+    bp_a.attach(cores_a)
+    pa = [np.asarray(bp_a.step_all([v[0][ti] for v in vids],
+                                   end=(ti == t - 1)))
+          for ti in range(1, t)]
+    bp_a.detach()
+
+    cores_b = make_cores()
+    bp_b = BatchedDetectionPropagator(model, variables, cfg)
+    bp_b.attach(cores_b)
+    frames = [np.stack([v[0][ti] for ti in range(1, t)]) for v in vids]
+    out = np.asarray(bp_b.step_block(frames, end=True))
+    bp_b.detach()
+
+    for i in range(t - 1):
+        np.testing.assert_allclose(out[:, i], pa[i], atol=1e-4)
+    for ca, cb in zip(cores_a, cores_b):
+        np.testing.assert_allclose(np.asarray(cb.memory.sensory),
+                                   np.asarray(ca.memory.sensory), atol=1e-4)

@@ -185,3 +185,34 @@ def test_lazy_lt_capacity_growth_batched():
     np.testing.assert_allclose(
         np.asarray(bp.lt_key[0, :lt.size], np.float32),
         np.asarray(lt.key[:lt.size], np.float32), atol=5e-3)
+
+
+def test_consolidation_window_smaller_than_prototypes():
+    """Tiny frames can make the candidate window smaller than
+    num_prototypes; the prototype top-k clamps to the window instead of
+    crashing (the reference's torch.topk would error here)."""
+    import jax, jax.numpy as jnp
+    model = DEVANetwork(ModelConfig(pix_feat_dim=64, key_dim=16,
+                                    value_dim=32))
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)),
+                           jnp.zeros((1, 1, 32, 32)),
+                           jnp.zeros((1, 1, 2, 2, 32)))
+    # 64x96 -> hw=24 tokens; window=(4-2)*24=48 < num_prototypes=64
+    cfg = InferenceConfig(mem_every=1, top_k=8, enable_long_term=True,
+                          enable_long_term_count_usage=True,
+                          max_mid_term_frames=4, min_mid_term_frames=2,
+                          num_prototypes=64, max_long_term_elements=1000,
+                          topk_method="exact")
+    rng = np.random.default_rng(31)
+    mask0 = np.zeros((H, W), np.int64)
+    mask0[10:40, 20:70] = 1
+    core = InferenceCore(model, variables, cfg)
+    core.step(rng.standard_normal((H, W, 3)).astype(np.float32), mask0,
+              objects=[1])
+    for _ in range(6):  # past the max_work trigger (4 frames of tokens)
+        core.step(rng.standard_normal((H, W, 3)).astype(np.float32))
+    (_, lt), = core.memory.long_buckets.items()
+    # trigger at frames 4 and 6 (after the first sieve the ring refills in
+    # 2 writes): two consolidations, each appending the clamped P == 48
+    assert lt.size == 96, lt.size
