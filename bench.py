@@ -251,8 +251,9 @@ def main():
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
         jnp.zeros((1, 1, 32, 32)), jnp.zeros((1, 1, 2, 2, 512)))
-    # 'auto' = fused Pallas attention on TPU (the production default);
-    # --no-pallas forces the XLA dense paths for A/B comparison
+    # 'auto' = the measured shape policy (XLA threshold-dense below
+    # fused_step.PALLAS_MIN_TOKENS, fused Pallas kernels above);
+    # --no-pallas forces the XLA dense paths, --pallas forces the kernels
     pallas = ("auto" if "--no-pallas" not in sys.argv else False) \
         if "--pallas" not in sys.argv else True
     cfg = InferenceConfig(ring_dtype=dtype, use_pallas_attention=pallas)

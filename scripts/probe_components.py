@@ -158,7 +158,10 @@ def main():
         # relative (vs 6e-4 for the f32-sim approx path) and grows with
         # |sim| — bf16 quantizes the exponent argument, so relative weight
         # error ~ 0.4% * |sim - row_max|. Only eligible as a default if the
-        # measured win is large.
+        # measured win is large. MEASURED (v5e, 16.9k tokens, serial run):
+        # 2.74 ms vs 2.58 ms for the f32-sim approx path — NO win (the op's
+        # cost is dominated by the fused producer chain, not the sim
+        # store), so the f32-sim threshold-dense default stands.
         sim = ma.get_similarity(mk_c, ms_c, c, qe0,
                                 precision=jax.lax.Precision.HIGH)
         sim = jnp.where(valid_c[None, :], sim, -jnp.inf).astype(jnp.bfloat16)
