@@ -85,6 +85,13 @@ class GroupResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, g):
+        # Cast at entry: without this, `out + folded` below promotes back to
+        # f32 whenever the block input is f32, and the promotion compounds —
+        # every downstream residual/upsample runs double-width. The reference
+        # under torch.autocast keeps these adds in fp16 (autocast wraps the
+        # whole decoder, reference:deva/model/network.py:33-40), so compute-
+        # dtype residuals are the faithful amp semantics. No-op at f32.
+        g = g.astype(self.dtype)
         in_dim = g.shape[-1]
         folded, bo = fold(g)
         out = nn.Conv(self.out_dim, (3, 3), padding=((1, 1), (1, 1)),
@@ -134,7 +141,7 @@ class GroupFeatureFusionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, g):
-        g = distribute_cat(x, g)
+        g = distribute_cat(x.astype(self.dtype), g.astype(self.dtype))
         g = GroupResBlock(self.mid_dim, dtype=self.dtype, name="block1")(g)
         folded, bo = fold(g)
         r = CBAM(self.mid_dim, dtype=self.dtype, name="attention")(folded)
@@ -178,8 +185,11 @@ class MaskUpsampleBlock(nn.Module):
 
     @nn.compact
     def __call__(self, skip_f, up_g):
-        g = upsample_groups(up_g, ratio=self.scale_factor)
-        g = distribute_add(skip_f, g)
+        # Compute-dtype upsample: the x2 stencil + interleave chain is pure
+        # HBM traffic (see docs/PERFORMANCE.md), so running it at f32 doubles
+        # its bytes; torch.autocast would run F.interpolate in fp16 here.
+        g = upsample_groups(up_g.astype(self.dtype), ratio=self.scale_factor)
+        g = distribute_add(skip_f.astype(self.dtype), g)
         return GroupResBlock(self.out_dim, dtype=self.dtype, name="out_conv")(g)
 
 

@@ -49,8 +49,10 @@ class MaskDecoder(nn.Module):
         skips = DecoderFeatureProcessor((self.val_dim, 256), dtype=self.dtype,
                                         name="decoder_feat_proc")([f8, f4])
 
-        p16 = memory_readout + GConv2D(self.val_dim, 1, dtype=self.dtype,
-                                       name="sensory_compress")(
+        # compute-dtype add (reference amp: the f32 attention readout enters
+        # the autocast region here); no-op at f32
+        p16 = memory_readout.astype(self.dtype) + GConv2D(
+            self.val_dim, 1, dtype=self.dtype, name="sensory_compress")(
             jnp.concatenate([sensory, last_mask], axis=-1))
         p16 = GroupFeatureFusionBlock(self.val_dim, self.val_dim,
                                       dtype=self.dtype, name="fuser")(f16, p16)

@@ -54,8 +54,14 @@ def upsample_bilinear(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     borders. We pad the input by 1 on each side (edge-replicate) so every block
     uses the same gather-free stencil, then combine with per-phase weights.
     """
+    # Compute in the input dtype for the low-precision compute dtypes: the
+    # stencil chain is pure HBM traffic and f32 intermediates double its
+    # bytes (torch amp runs F.interpolate in fp16 the same way). f32 (and
+    # anything else) computes in f32 as before.
     orig_dtype = x.dtype
-    xf = x.astype(jnp.float32)
+    cdt = orig_dtype if orig_dtype in (jnp.bfloat16, jnp.float16) \
+        else jnp.float32
+    xf = x.astype(cdt)
     wts, base = _upsample_axis_stencil(factor)
 
     def up1(y, axis):
@@ -71,7 +77,9 @@ def upsample_bilinear(x: jnp.ndarray, factor: int) -> jnp.ndarray:
             b = int(base[p])
             t0 = jax.lax.slice_in_dim(yp, 1 + b, 1 + b + n, axis=axis)
             t1 = jax.lax.slice_in_dim(yp, 2 + b, 2 + b + n, axis=axis)
-            outs.append(float(wts[p, 0]) * t0 + float(wts[p, 1]) * t1)
+            w0 = jnp.asarray(wts[p, 0], cdt)
+            w1 = jnp.asarray(wts[p, 1], cdt)
+            outs.append(w0 * t0 + w1 * t1)
         stacked = jnp.stack(outs, axis=axis + 1)  # [..., n, f, ...]
         new_shape = list(y.shape)
         new_shape[axis] = n * factor

@@ -21,22 +21,28 @@ from deva_tpu.config import InferenceConfig, ModelConfig
 from deva_tpu.models.network import DEVANetwork
 
 
-def timed_scan(name, fn, carry0, n=20, scale=1):
+def timed_scan(name, fn, carry0, n=20, scale=1, extra=None):
     """fn(carry, i) -> carry; time one launch of lax.scan over n steps
-    (divided by `scale` for per-sample numbers of batched components)."""
-    @jax.jit
-    def run(c0):
-        return jax.lax.scan(lambda c, i: (fn(c, i), 0),
-                            c0, jnp.arange(n))[0]
+    (divided by `scale` for per-sample numbers of batched components).
 
-    out = run(carry0)
+    Big loop-invariant tensors must go through `extra` (fn then takes
+    (carry, extra, i)): closed-over device arrays are embedded in the HLO
+    as literal constants, and the relay's remote_compile endpoint rejects
+    oversized request bodies (HTTP 413)."""
+    @jax.jit
+    def run(c0, ex):
+        body = (lambda c, i: (fn(c, i), 0)) if extra is None \
+            else (lambda c, i: (fn(c, ex, i), 0))
+        return jax.lax.scan(body, c0, jnp.arange(n))[0]
+
+    out = run(carry0, extra)
     _ = float(jnp.asarray(jax.tree.leaves(out)[0]).ravel()[0])
     ts = []
     for rep in range(3):
         t0 = time.perf_counter()
         out = run(jax.tree.map(
             lambda x: x + jnp.asarray(rep + 1, x.dtype) * 1e-6
-            if jnp.issubdtype(x.dtype, jnp.floating) else x, carry0))
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, carry0), extra)
         _ = float(jnp.asarray(jax.tree.leaves(out)[0]).ravel()[0])
         ts.append((time.perf_counter() - t0) / (n * scale))
     t = sorted(ts)[1]
@@ -190,23 +196,27 @@ def main():
     lm0 = jnp.asarray(rng.uniform(0, 1, (b, o, h, w)), jnp.float32)
     selector = jnp.ones((b, o), jnp.float32)
 
-    def dec(c, i):
+    def dec(c, ex, i):
+        ms, sens, lm = ex
         new_sensory, _, prob = model.apply(
-            variables, ms_feats, c, sensory0, lm0, selector=selector,
+            variables, ms, c, sens, lm, selector=selector,
             update_sensory=True, method=DEVANetwork.segment)
         return c + 1e-6 * jnp.mean(prob)
 
-    t_dec = timed_scan("decode(segment)", dec, readout0, scale=b) \
+    t_dec = timed_scan("decode(segment)", dec, readout0, scale=b,
+                       extra=(ms_feats, sensory0, lm0)) \
         if want("decode") else 0.0
 
     # mask encode (memory write; amortized over mem_every=5)
-    def mem(c, i):
-        value, deep = model.apply(variables, c, ms_feats[0], sensory0, lm0,
+    def mem(c, ex, i):
+        ms, sens, lm = ex
+        value, deep = model.apply(variables, c, ms[0], sens, lm,
                                   deep_update=True,
                                   method=DEVANetwork.encode_mask)
         return c + 1e-6 * jnp.mean(value).astype(c.dtype)
 
-    t_mem = timed_scan("encode_mask(write)", mem, img, scale=b) \
+    t_mem = timed_scan("encode_mask(write)", mem, img, scale=b,
+                       extra=(ms_feats, sensory0, lm0)) \
         if want("mask") else 0.0
 
     total = t_enc + t_att + t_dec + t_mem / 5
