@@ -12,6 +12,12 @@ m in {-2..1} -> a 4-tap stride-1 conv over the s2d axis with padding (2,1)
 and the (m=-2, p=0) tap zero. Edges match the original zero padding exactly.
 
   python scripts/probe_stem.py [--batch 16]
+
+MEASURED (v5e via relay, batch 16, bf16, 480x864): NEGATIVE — 7x7 Cin=3
+stem 5.61 ms/launch vs s2d 4x4 Cin=12 6.09 ms (parity 7e-7). XLA's TPU
+backend already space-to-depth-optimizes small-Cin strided convs
+internally; the explicit rearrange only adds a transpose. Keep the
+plain stem.
 """
 import sys
 import time
