@@ -78,7 +78,8 @@ def main():
     b = int(sys.argv[sys.argv.index("--batch") + 1]) if "--batch" in sys.argv \
         else 1
     h, w = 480, 864
-    o = 3
+    o = int(sys.argv[sys.argv.index("--objects") + 1]) \
+        if "--objects" in sys.argv else 3
     model = DEVANetwork(ModelConfig(dtype="bfloat16"))
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
