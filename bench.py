@@ -289,6 +289,7 @@ def main():
         fps = single_fps()
         metric += "_single_stream"
     else:
+        block_err = None
         try:
             # warmup must cross working-memory saturation (10 writes) so the
             # measured windows include LT attention + one consolidation each
@@ -305,7 +306,43 @@ def main():
         except Exception as e:  # never leave the driver without a number
             print(f"block bench failed ({e!r}); single-stream fallback",
                   file=sys.stderr)
-            fps = single_fps()
+            block_err = e
+        if block_err is not None:
+            # Fall back OUTSIDE the except block (the exception's traceback
+            # pins bench_blocks' frame and with it the batched rings), then
+            # forcibly free every device buffer except the model parameters:
+            # after a RESOURCE_EXHAUSTED the aborted launch leaves buffers
+            # alive that plain gc does not reclaim (observed with --batch 20
+            # on v5e: the fallback's first 5 MB device_put re-OOMed).
+            import gc
+            block_err = None
+            gc.collect()
+            keep = {id(x) for x in jax.tree.leaves(variables)}
+            freed = 0
+            for arr in jax.live_arrays():
+                if id(arr) not in keep:
+                    try:
+                        arr.delete()
+                        freed += 1
+                    except Exception:
+                        pass
+            print(f"freed {freed} leaked device buffers before the "
+                  f"single-stream fallback", file=sys.stderr)
+            try:
+                fps = single_fps()
+            except Exception as e2:
+                # Measured on v5e via the relay: after a RESOURCE_EXHAUSTED
+                # the client has no live buffers beyond the params, yet a
+                # 5 MB device_put still fails — the exhaustion is
+                # backend/relay-side and unrecoverable in-process. Emit a
+                # parseable line so the driver records the failure instead
+                # of a crash.
+                print(json.dumps({
+                    "metric": metric + "_single_stream",
+                    "value": 0.0, "unit": "frames/sec", "vs_baseline": 0.0,
+                    "error": f"block bench and single-stream fallback both "
+                             f"failed: {e2!r}"}))
+                return
             metric += "_single_stream"
 
     if flops_per_frame:

@@ -28,6 +28,31 @@ from deva_tpu.utils.pano_utils import ID2RGBConverter, id_to_rgb
 from deva_tpu.utils.viz import overlay_segmentation
 
 
+def device_argmax_ids(prob) -> np.ndarray:
+    """[C, H, W] device probabilities -> host uint8/int32 argmax ids,
+    with the reduction done ON DEVICE. Pulling ids instead of the float32
+    probability tensor cuts the device->host transfer 4*C-fold and keeps
+    the (C*H*W) reduction off the host CPU (the reference pulls the full
+    prob tensor and argmaxes on host: its `prob.cpu()` + `torch.argmax`
+    flow around reference:deva/inference/result_utils.py:120-140).
+    Identical output to np.argmax (both pick the first maximum)."""
+    global _ARGMAX_JIT
+    if _ARGMAX_JIT is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def _ids(p):
+            dt = jnp.uint8 if p.shape[0] <= 256 else jnp.int32
+            return jnp.argmax(p, axis=0).astype(dt)
+
+        _ARGMAX_JIT = _ids
+    return np.asarray(_ARGMAX_JIT(prob))
+
+
+_ARGMAX_JIT = None
+
+
 class ResultSaver:
     def __init__(self,
                  output_root: str,
@@ -98,10 +123,15 @@ class ResultSaver:
                   prompts: Optional[List[str]] = None,
                   path_to_image: Optional[str] = None) -> None:
         """prob: [C, H, W] probabilities (bg first), device or numpy."""
-        prob = np.asarray(prob, np.float32)
-        if need_resize and shape is not None:
-            prob = resize_prob_to(prob, tuple(int(s) for s in shape))
-        mask = np.argmax(prob, axis=0)
+        if (not need_resize or shape is None) and not isinstance(
+                prob, np.ndarray):
+            # device fast path: pull argmax ids, not the f32 prob tensor
+            mask = device_argmax_ids(prob)
+        else:
+            prob = np.asarray(prob, np.float32)
+            if need_resize and shape is not None:
+                prob = resize_prob_to(prob, tuple(int(s) for s in shape))
+            mask = np.argmax(prob, axis=0)
 
         args = _SaveArgs(
             saver=self,

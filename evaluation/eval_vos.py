@@ -30,6 +30,7 @@ from deva_tpu.data.vos_test_datasets import (DAVISTestDataset,
                                              YouTubeVOSTestDataset)
 from deva_tpu.data.transforms import resize_prob_to
 from deva_tpu.inference.core import InferenceCore
+from deva_tpu.inference.result_saver import device_argmax_ids
 from deva_tpu.utils.prefetch import Prefetcher
 from deva_tpu.inference.eval_args import (add_common_eval_args,
                                           get_model_and_config,
@@ -147,13 +148,16 @@ def main():
                 total_process_time += time.perf_counter() - start
                 total_frames += 1
 
-                prob = np.asarray(prob)
-                if need_resize:
-                    prob = resize_prob_to(prob, tuple(shape))
-                if args.flip:
-                    prob = prob[..., ::-1]
-
-                out_mask = np.argmax(prob, axis=0)
+                if need_resize or args.flip or args.save_scores:
+                    prob = np.asarray(prob)
+                    if need_resize:
+                        prob = resize_prob_to(prob, tuple(shape))
+                    if args.flip:
+                        prob = prob[..., ::-1]
+                    out_mask = np.argmax(prob, axis=0)
+                else:
+                    # device fast path: pull argmax ids, not f32 probs
+                    out_mask = device_argmax_ids(prob)
                 out_mask = processor.object_manager.tmp_cls_to_obj_cls(out_mask)
 
                 if args.save_all or info["save"]:

@@ -45,6 +45,7 @@ from deva_tpu.data.vos_test_datasets import (DAVISTestDataset,
 from deva_tpu.data.transforms import resize_prob_to
 from deva_tpu.inference.batched import BatchedPropagator
 from deva_tpu.inference.core import InferenceCore
+from deva_tpu.inference.result_saver import device_argmax_ids
 from deva_tpu.utils.prefetch import Prefetcher
 from deva_tpu.inference.eval_args import (add_common_eval_args,
                                           get_model_and_config,
@@ -54,10 +55,16 @@ from deva_tpu.inference.eval_args import (add_common_eval_args,
 
 def save_frame(out_path, vid_name, frame, prob, object_manager, palette,
                shape, need_resize):
-    prob = np.asarray(prob)
-    if need_resize:
-        prob = resize_prob_to(prob, tuple(shape))
-    out_mask = object_manager.tmp_cls_to_obj_cls(np.argmax(prob, axis=0))
+    if not need_resize and not isinstance(prob, np.ndarray):
+        # device fast path: pull argmax ids, not the f32 prob tensor
+        # (16x less tunnel/PCIe traffic, no host-side reduction)
+        argmax = device_argmax_ids(prob)
+    else:
+        prob = np.asarray(prob)
+        if need_resize:
+            prob = resize_prob_to(prob, tuple(shape))
+        argmax = np.argmax(prob, axis=0)
+    out_mask = object_manager.tmp_cls_to_obj_cls(argmax)
     this_out_path = path.join(out_path, vid_name)
     os.makedirs(this_out_path, exist_ok=True)
     out_img = Image.fromarray(out_mask.astype(np.uint8))

@@ -8,13 +8,15 @@ exact configuration the bench measures is exercised by the suite — including
 the compute-dtype residual/upsample placement (deva_tpu/models/blocks.py,
 ops/resize.py), which must keep amp drift at the probability level small.
 """
+from os import path
+
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 import pytest
 
-from deva_tpu.config import ModelConfig
+from deva_tpu.config import InferenceConfig, ModelConfig
 from deva_tpu.models.network import DEVANetwork
 
 
@@ -80,6 +82,63 @@ def test_bf16_sensory_state_dtype_and_drift(amp_pair):
     d = np.abs(np.asarray(s32) - np.asarray(s16))
     scale = np.abs(np.asarray(s32)).mean() + 1e-6
     assert d.mean() / scale < 0.05, (d.mean(), scale)
+
+
+@pytest.mark.slow
+def test_bf16_whole_clip_budget():
+    """The bench configuration end to end: bf16 compute + bf16 rings +
+    approx top-k over the golden-fixture clip, against the f32 exact run
+    with SHARED parameters. Argmax flips must be confined to near-tie
+    pixels (random-init probabilities are flat, so some flips are expected;
+    a confident flip would mean the amp path changes decisions)."""
+    from deva_tpu.inference.core import InferenceCore
+
+    fixdir = path.join(path.dirname(path.abspath(__file__)), "fixtures")
+    fx = np.load(path.join(fixdir, "golden_vos.npz"))
+    inputs = fx["inputs"].astype(np.float32)
+    mask0 = fx["mask0"].astype(np.int64)
+
+    model32 = DEVANetwork(ModelConfig())
+    model16 = DEVANetwork(ModelConfig(dtype="bfloat16"))
+    cv = model32.config.value_dim
+    o = int(mask0.max())
+    variables = model32.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 32, 32, 3)),
+                             jnp.zeros((1, o, 32, 32)),
+                             jnp.zeros((1, o, 2, 2, cv)))
+    labels = [int(v) for v in np.unique(mask0) if v != 0]
+
+    def run(model, ring_dtype, method):
+        cfg = InferenceConfig(mem_every=1, top_k=30, enable_long_term=False,
+                              ring_dtype=ring_dtype, topk_method=method)
+        core = InferenceCore(model, variables, cfg)
+        probs = []
+        for ti in range(inputs.shape[0]):
+            prob = core.step(inputs[ti], mask0 if ti == 0 else None,
+                             labels if ti == 0 else None)
+            probs.append(np.asarray(prob, np.float32))
+        return probs
+
+    p32 = run(model32, "float32", "exact")
+    p16 = run(model16, "bfloat16", "approx")
+    for ti, (pe, pa) in enumerate(zip(p32, p16)):
+        assert np.abs(pa - pe).mean() < 0.03, (ti, np.abs(pa - pe).mean())
+        flips = pa.argmax(0) != pe.argmax(0)
+        srt = np.sort(pe, axis=0)
+        margin = srt[-1] - srt[-2]
+        # Random-init probabilities are nearly flat, so low-margin flips
+        # are expected under ~0.2-level bf16 perturbations (see the
+        # module-level bound above). The budget: flips at CONFIDENT pixels
+        # (f32 margin > 0.25) must stay a sub-percent tail, and nothing
+        # flips where the f32 decision was decisive.
+        confident_flips = (flips & (margin > 0.25)).mean()
+        assert confident_flips < 0.02, (
+            f"frame {ti}: {100 * confident_flips:.2f}% confident-pixel "
+            f"flips under bf16 amp (max margin flipped: "
+            f"{margin[flips].max() if flips.any() else 0:.3f})")
+        assert not (flips & (margin > 0.6)).any(), (
+            f"frame {ti}: decisive-pixel flip, margin "
+            f"{margin[flips].max():.3f}")
 
 
 def test_upsample_bilinear_bf16_matches_f32():
