@@ -110,7 +110,9 @@ class ResultSaver:
         self.id2rgb_converter = ID2RGBConverter()
 
         self.queue: Queue = Queue(maxsize=10)
-        self.thread = Thread(target=_worker, args=(self.queue,), daemon=True)
+        self._errors: List[BaseException] = []
+        self.thread = Thread(target=_worker,
+                             args=(self.queue, self._errors), daemon=True)
         self.thread.start()
 
     def save_mask(self,
@@ -146,12 +148,25 @@ class ResultSaver:
             segments_info=copy.deepcopy(
                 self.object_manager.get_current_segments_info()),
         )
+        self._raise_worker_error()
         self.queue.put(args)
 
     def end(self) -> None:
         self.queue.put(None)
         self.queue.join()
         self.thread.join()
+        self._raise_worker_error()
+
+    def _raise_worker_error(self) -> None:
+        """Surface a save failure on the caller thread. The worker keeps
+        draining after an error (it never dies mid-queue), so a failed
+        write becomes an exception at the next save_mask()/end() instead
+        of a silent wedge: a dead consumer would fill the bounded queue
+        and deadlock the eval driver on queue.join()."""
+        if self._errors:
+            raise RuntimeError(
+                f"async result writer failed: {self._errors[0]!r}"
+            ) from self._errors[0]
 
     def flush_video_json(self, out_path: str) -> None:
         os.makedirs(path.dirname(out_path), exist_ok=True)
@@ -173,7 +188,7 @@ class _SaveArgs:
     segments_info: List[Dict] = field(default_factory=list)
 
 
-def _worker(queue: Queue) -> None:
+def _worker(queue: Queue, errors: List[BaseException]) -> None:
     while True:
         args: Optional[_SaveArgs] = queue.get()
         if args is None:
@@ -181,6 +196,8 @@ def _worker(queue: Queue) -> None:
             break
         try:
             _save_one(args)
+        except Exception as e:  # recorded, re-raised on the caller thread
+            errors.append(e)
         finally:
             queue.task_done()
 

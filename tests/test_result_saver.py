@@ -50,3 +50,31 @@ def test_saver_device_path_identical_png(tmp_path):
     a = _save_and_read(tmp_path, "host", prob)
     b = _save_and_read(tmp_path, "dev", jnp.asarray(prob))
     np.testing.assert_array_equal(a, b)
+
+
+def test_worker_error_surfaces_and_does_not_wedge(tmp_path, monkeypatch):
+    """A failing save must raise on the caller thread (at end() or a later
+    save_mask) rather than kill the worker: a dead consumer would fill the
+    bounded queue and deadlock the driver on queue.join()."""
+    from deva_tpu.inference import result_saver as rs
+
+    calls = []
+
+    def boom(args):
+        calls.append(args.frame_name)
+        raise OSError("disk full")
+
+    monkeypatch.setattr(rs, "_save_one", boom)
+    om = ObjectManager()
+    om.add_new_objects([ObjectInfo(1)])
+    saver = ResultSaver(str(tmp_path), "vid", dataset="unsup_davis17",
+                        object_manager=om)
+    prob = np.zeros((2, 8, 8), np.float32)
+    saver.save_mask(prob, "00000.png")
+    # the worker must keep draining: 15 more puts > queue maxsize (10)
+    # would deadlock here if the worker died on the first error
+    with pytest.raises(RuntimeError, match="disk full"):
+        for i in range(1, 16):
+            saver.save_mask(prob, f"{i:05d}.png")
+        saver.end()
+    assert calls  # the failing item was actually processed
