@@ -11,5 +11,30 @@ pointing into the upstream repo (hkchengrex/Tracking-Anything-with-DEVA).
 
 from deva_tpu.config import ModelConfig, InferenceConfig
 
-__all__ = ["ModelConfig", "InferenceConfig"]
+# Heavier entry points are exported lazily so `import deva_tpu` stays cheap
+# (pulling flax/optax eagerly slows every CLI start on the one-core host).
+_LAZY = {
+    "DEVANetwork": "deva_tpu.models.network",
+    "InferenceCore": "deva_tpu.inference.core",
+    "BatchedPropagator": "deva_tpu.inference.batched",
+    "BatchedDetectionPropagator": "deva_tpu.inference.batched_detection",
+    "MemoryEngine": "deva_tpu.inference.memory",
+    "ObjectManager": "deva_tpu.inference.object_manager",
+    "ObjectInfo": "deva_tpu.inference.object_info",
+    "ResultSaver": "deva_tpu.inference.result_saver",
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+        return getattr(importlib.import_module(_LAZY[name]), name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_LAZY))
+
+
+__all__ = ["ModelConfig", "InferenceConfig", *_LAZY]
 __version__ = "0.1.0"
