@@ -136,7 +136,7 @@ def bench_blocks(model, variables, cfg, base, mask0, *, batch, k,
 
 
 def bench_train(windows=3, steps_per_window=3, t=8, h=384, w=384,
-                per_device_batch=2):
+                per_device_batch=2, remat=False):
     """Train-step throughput on the available mesh (synthetic batch): the
     full unrolled-recurrence DP step (fwd+bwd+AdamW). Reference measurement
     analog: per-iteration time at reference:deva/model/trainer.py:173-175.
@@ -156,7 +156,8 @@ def bench_train(windows=3, steps_per_window=3, t=8, h=384, w=384,
     model = DEVANetwork(ModelConfig(dtype="bfloat16"))
     max_obj = 3
     b = per_device_batch * n_dev
-    cfg = TrainConfig(num_frames=t, num_ref_frames=3, max_num_obj=max_obj)
+    cfg = TrainConfig(num_frames=t, num_ref_frames=3, max_num_obj=max_obj,
+                      remat=remat)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, h, w, 3)),
                            jnp.zeros((1, max_obj, h, w)),
@@ -231,7 +232,11 @@ def main():
 
     if "--train" in sys.argv:
         t0 = time.perf_counter()
-        sps, fps = bench_train()
+        pdb = 2
+        if "--per_device_batch" in sys.argv:
+            pdb = int(sys.argv[sys.argv.index("--per_device_batch") + 1])
+        sps, fps = bench_train(per_device_batch=pdb,
+                               remat="--remat" in sys.argv)
         print(f"total bench time {time.perf_counter() - t0:.0f}s, "
               f"platform={jax.devices()[0].platform}", file=sys.stderr)
         print(json.dumps({

@@ -117,6 +117,7 @@ def main(argv=None):
             deep_update_prob=raw_config["deep_update_prob"],
             start_warm=stage_params["start_warm"],
             end_warm=stage_params["end_warm"],
+            remat=raw_config["remat"],
         )
         mc = ModelConfig(pix_feat_dim=raw_config["pix_feat_dim"],
                          key_dim=raw_config["key_dim"],

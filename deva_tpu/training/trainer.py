@@ -68,7 +68,21 @@ def forward_sequence(model: DEVANetwork, variables: Dict, batch: Dict,
     max_obj = first_gt.shape[1]
     num_ref = cfg.num_ref_frames
 
-    apply = functools.partial(model.apply, variables)
+    # cfg.remat: rematerialize each sub-module call (recompute-in-backward)
+    # so the unrolled recurrence stores only call-boundary activations —
+    # the per-device-batch enabler at stage-3 shapes. Identical math.
+    if cfg.remat:
+        fns = {}
+
+        def apply(*args, method, **static_kwargs):
+            key = (method, tuple(sorted(static_kwargs.items())))
+            if key not in fns:
+                fns[key] = jax.checkpoint(functools.partial(
+                    lambda m, kws, v, *a: model.apply(v, *a, method=m, **kws),
+                    method, static_kwargs))
+            return fns[key](variables, *args)
+    else:
+        apply = functools.partial(model.apply, variables)
 
     ms, feat = apply(frames[:, 0], method=DEVANetwork.encode_image)
     k, s, _ = apply(feat, need_ek=False, method=DEVANetwork.transform_key)
@@ -112,8 +126,10 @@ def forward_sequence(model: DEVANetwork, variables: Dict, batch: Dict,
 
         readout = apply(k, e, ref_keys, ref_shrink, ref_values,
                         method=DEVANetwork.read_memory)
+        # selector passes positionally: under cfg.remat kwargs are static
+        # (baked into the per-method wrapper); arrays must be arguments
         sensory, logits, prob, aux_logits, aux_prob = apply(
-            ms, readout, sensory, masks, selector=selector, need_aux=True,
+            ms, readout, sensory, masks, selector, need_aux=True,
             method=DEVANetwork.segment)
         masks = prob[:, 1:]
 
@@ -159,8 +175,11 @@ def make_train_step(model: DEVANetwork, tx: optax.GradientTransformation,
                                   it=state.it + 1)
         return new_state, metrics
 
+    # donate the state: callers all do `state = step(state, ...)`, and
+    # without aliasing the params + AdamW moments (~4x params bytes)
+    # double-buffer in HBM across every update
     if mesh is None:
-        return jax.jit(train_step)
+        return jax.jit(train_step, donate_argnums=0)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
     repl = NamedSharding(mesh, P())
@@ -170,6 +189,7 @@ def make_train_step(model: DEVANetwork, tx: optax.GradientTransformation,
         in_shardings=(repl, jax.tree.map(lambda _: data, {
             "rgb": 0, "first_frame_gt": 0, "cls_gt": 0, "selector": 0}), repl),
         out_shardings=(repl, repl),
+        donate_argnums=0,
     )
 
 

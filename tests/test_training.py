@@ -78,3 +78,36 @@ def test_step_counter_and_sharding(trained):
     # replicated params: every device holds the full array
     leaf = jax.tree.leaves(state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_remat_matches_plain_forward():
+    """cfg.remat only changes WHERE activations live (recompute-in-backward);
+    forward outputs and gradients must match the plain path to fp tolerance."""
+    from deva_tpu.training.trainer import forward_sequence
+    from deva_tpu.training.losses import compute_losses
+
+    model = _tiny_model()
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+        jnp.zeros((1, MAX_OBJ, 32, 32)), jnp.zeros((1, MAX_OBJ, 2, 2, 32)))
+    rng = np.random.default_rng(3)
+    batch = jax.tree.map(lambda x: jnp.asarray(x[:2]), _batch(rng))
+    key = jax.random.PRNGKey(7)
+
+    def loss(params, cfg):
+        vs = {**variables, "params": params}
+        out = forward_sequence(model, vs, batch, key, cfg)
+        return compute_losses(out, batch["cls_gt"], batch["selector"],
+                              it=50, start_warm=10, end_warm=20)["total_loss"]
+
+    cfg_p = TrainConfig(num_frames=T, num_ref_frames=2, remat=False)
+    cfg_r = TrainConfig(num_frames=T, num_ref_frames=2, remat=True)
+    lp, gp = jax.value_and_grad(loss)(variables["params"], cfg_p)
+    lr_, gr = jax.value_and_grad(loss)(variables["params"], cfg_r)
+    np.testing.assert_allclose(float(lp), float(lr_), rtol=1e-6)
+    flat_p = jax.tree.leaves(gp)
+    flat_r = jax.tree.leaves(gr)
+    assert len(flat_p) == len(flat_r)
+    for a, b in zip(flat_p, flat_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
