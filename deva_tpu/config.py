@@ -88,6 +88,22 @@ class InferenceConfig:
     # elsewhere. See deva_tpu/ops/memory_attention.py:topk_softmax.
     topk_method: str = "auto"
 
+    # Single-stream block stepping (InferenceCore.step_chunk) can
+    # restructure the per-memory-period block so all K frames' encoders run
+    # as ONE conv batch and the ring attention sees K*Q query rows, ahead
+    # of a decode-only lax.scan (FusedStepper._raw_block_preenc) — the
+    # rings are loop-invariant within a block, so this is mathematically
+    # exact; only float op-scheduling noise differs (bounded in
+    # tests/test_step_chunk). MEASURED NEUTRAL on v5e (11.36 -> 11.26
+    # ms/frame at the 480p/16.2k-token serving shape,
+    # scripts/probe_preenc.py): the per-frame program is HBM-bandwidth
+    # bound, so batching frames buys no efficiency — same reason
+    # single-stream fps ~= aggregate/16 (docs/PERFORMANCE.md). Default
+    # False keeps the per-frame scan body, whose in-block compute order
+    # matches step() exactly. The vmapped batched propagators ignore this
+    # (their video axis already fills the device).
+    preencode_blocks: bool = False
+
     # dtype of the memory rings (keys/values). bfloat16 halves ring HBM and
     # feeds the MXU natively; similarity still accumulates in f32.
     ring_dtype: str = "float32"

@@ -128,7 +128,8 @@ class InferenceCore:
         from deva_tpu.inference.fused_step import FusedStepper
         self._fused = FusedStepper(model, config.top_k,
                                    use_pallas=config.resolve_use_pallas(),
-                                   topk_method=config.topk_method)
+                                   topk_method=config.topk_method,
+                                   preencode_blocks=config.preencode_blocks)
 
     # -- object-slot management -------------------------------------------
 

@@ -30,11 +30,18 @@ from deva_tpu.inference.memory import _readout_token_major
 
 class FusedStepper:
     def __init__(self, model: DEVANetwork, top_k: int,
-                 use_pallas: bool = False, topk_method: str = "auto"):
+                 use_pallas: bool = False, topk_method: str = "auto",
+                 preencode_blocks: bool = False):
         self.model = model
         self.top_k = top_k
         self.use_pallas = use_pallas
         self.topk_method = topk_method
+        # True: single-stream blocks batch the K frames' encoders +
+        # attention ahead of a decode-only scan (_raw_block_preenc).
+        # Measured NEUTRAL at serving shapes (scripts/probe_preenc.py,
+        # see InferenceConfig.preencode_blocks), so the parity-exact
+        # per-frame body stays the default.
+        self.preencode_blocks = preencode_blocks
         self._cache: Dict = {}
 
     # Below this many ring tokens the XLA threshold-dense path beats the
@@ -87,6 +94,47 @@ class FusedStepper:
                               method=self.topk_method)
         return _readout_token_major(aff, value_ring)
 
+    def _attend_rings(self, qk, qe, key_ring, shr_ring, value_ring, size,
+                      lt_key, lt_shr, lt_value, lt_size, use_lt: bool,
+                      work_usage: bool):
+        """Attention over the rings for any number of query rows (one frame's
+        Q, or K frames' K*Q stacked — the rings are loop-invariant within a
+        block, so batching frames into the query axis is exact).
+        Returns (rd [O, Q, Cv], work_usage_arr | None, lt_usage | None)."""
+        cap = key_ring.shape[0]
+        if use_lt:
+            lcap = lt_key.shape[0]
+            lt_valid = jnp.arange(lcap) < lt_size
+            work_valid = jnp.arange(cap) < size
+            if self.use_pallas and \
+                    ma.resolve_topk_method(self.topk_method) == "approx" and \
+                    (self.use_pallas is True or
+                     lcap + cap >= self.PALLAS_MIN_TOKENS):
+                # multi-ring fused kernel (shape policy: see _attend)
+                from deva_tpu.ops.pallas_attention import \
+                    attend_pallas_approx_multi
+                rd, (lt_usage, work_usage_arr) = attend_pallas_approx_multi(
+                    [(lt_key, lt_shr, lt_value, lt_valid),
+                     (key_ring, shr_ring, value_ring, work_valid)],
+                    qk, qe, self.top_k, return_usage=True)
+            else:
+                valid = jnp.concatenate([lt_valid, work_valid])
+                rd, usage = self._attend(
+                    jnp.concatenate([lt_key, key_ring], 0),
+                    jnp.concatenate([lt_shr, shr_ring], 0),
+                    jnp.concatenate([lt_value, value_ring], 0),
+                    valid, qk, qe, want_usage=True)
+                lt_usage, work_usage_arr = usage[:lcap], usage[lcap:]
+            return rd, work_usage_arr, lt_usage
+        valid = jnp.arange(cap) < size
+        if work_usage:
+            rd, work_usage_arr = self._attend(key_ring, shr_ring, value_ring,
+                                              valid, qk, qe, want_usage=True)
+            return rd, work_usage_arr, None
+        rd = self._attend(key_ring, shr_ring, value_ring, valid, qk, qe,
+                          want_usage=False)
+        return rd, None, None
+
     def _raw_step(self, mem_write: bool, update_sensory: bool, use_lt: bool,
                   work_usage: bool, count_lt_usage: bool,
                   slice_channels: bool = True):
@@ -113,40 +161,9 @@ class FusedStepper:
             qe = selection[0].reshape(hq * wq, ck)
 
             cap = key_ring.shape[0]
-            if use_lt:
-                lcap = lt_key.shape[0]
-                lt_valid = jnp.arange(lcap) < lt_size
-                work_valid = jnp.arange(cap) < size
-                if self.use_pallas and \
-                        ma.resolve_topk_method(self.topk_method) == \
-                        "approx" and \
-                        (self.use_pallas is True or
-                         lcap + cap >= self.PALLAS_MIN_TOKENS):
-                    # multi-ring fused kernel (shape policy: see _attend)
-                    from deva_tpu.ops.pallas_attention import \
-                        attend_pallas_approx_multi
-                    rd, (lt_usage, work_usage_arr) = \
-                        attend_pallas_approx_multi(
-                            [(lt_key, lt_shr, lt_value, lt_valid),
-                             (key_ring, shr_ring, value_ring, work_valid)],
-                            qk, qe, self.top_k, return_usage=True)
-                else:
-                    valid = jnp.concatenate([lt_valid, work_valid])
-                    rd, usage = self._attend(
-                        jnp.concatenate([lt_key, key_ring], 0),
-                        jnp.concatenate([lt_shr, shr_ring], 0),
-                        jnp.concatenate([lt_value, value_ring], 0),
-                        valid, qk, qe, want_usage=True)
-                    lt_usage, work_usage_arr = usage[:lcap], usage[lcap:]
-            else:
-                valid = jnp.arange(cap) < size
-                if work_usage:
-                    rd, work_usage_arr = self._attend(
-                        key_ring, shr_ring, value_ring, valid, qk, qe,
-                        want_usage=True)
-                else:
-                    rd = self._attend(key_ring, shr_ring, value_ring, valid,
-                                      qk, qe, want_usage=False)
+            rd, work_usage_arr, lt_usage = self._attend_rings(
+                qk, qe, key_ring, shr_ring, value_ring, size,
+                lt_key, lt_shr, lt_value, lt_size, use_lt, work_usage)
 
             if work_usage:
                 valid_w = jnp.arange(cap) < size
@@ -219,7 +236,7 @@ class FusedStepper:
 
     def _build_block(self, n_read: int, write_last: bool, use_lt: bool,
                      work_usage: bool, count_lt_usage: bool,
-                     slice_channels: bool = True):
+                     slice_channels: bool = True, preencode: bool = False):
         """(n_read + write_last) frames in ONE compiled launch: n_read
         read-only propagate frames via lax.scan — the rings are
         loop-invariant, so the carry is only (sensory, last_mask [, usage
@@ -227,9 +244,18 @@ class FusedStepper:
         natural mem_every cadence (a block per memory period); compile cost
         ~2 single frames regardless of n_read, and the per-launch relay
         round-trip (~30 ms on the tunneled chip, the dominant cost at batch
-        1x1) is amortized over the whole block."""
-        fn = self._raw_block(n_read, write_last, use_lt, work_usage,
-                             count_lt_usage, slice_channels)
+        1x1) is amortized over the whole block.
+
+        preencode=True uses the restructured body (_raw_block_preenc): all K
+        frames' encoders and the ring attention run batched before a
+        decode-only scan — the single-stream default (see run_block)."""
+        if preencode:
+            fn = self._raw_block_preenc(n_read, write_last, use_lt,
+                                        work_usage, count_lt_usage,
+                                        slice_channels)
+        else:
+            fn = self._raw_block(n_read, write_last, use_lt, work_usage,
+                                 count_lt_usage, slice_channels)
         donate = (4, 5, 6, 7, 8, 9, 17, 18) if write_last else (17, 18)
         return jax.jit(fn, static_argnums=(2, 3), donate_argnums=donate)
 
@@ -283,6 +309,130 @@ class FusedStepper:
 
         return fn
 
+    def _raw_block_preenc(self, n_read: int, write_last: bool, use_lt: bool,
+                          work_usage: bool, count_lt_usage: bool,
+                          slice_channels: bool = True):
+        """Restructured block body: the recurrence only flows through the
+        decoder (sensory GRU + last mask), so everything else is batched
+        across the block's frames —
+
+          1. ONE conv batch encodes all K frames (the ResNet50 encoder is
+             ~5% MXU-utilized at b=1; batching frames is the TPU-idiomatic
+             fix, impossible in the reference's strictly per-frame loop,
+             reference:deva/inference/inference_core.py:200),
+          2. ONE masked top-k attention with K*Q query rows (the rings are
+             loop-invariant within a block, so this is exact; usage counters
+             are per-token sums over queries, order-independent),
+          3. a decode-only lax.scan carrying (sensory, last_mask),
+          4. optionally one memory-write frame reusing its precomputed
+             key/selection/f16 features.
+
+        Same signature/outputs as _raw_block; parity is pinned by the
+        step_chunk tests (single-stream run_block uses this body)."""
+        model = self.model
+        k_total = n_read + (1 if write_last else 0)
+
+        def fn(variables, frames, pads, num_obj,
+               key_ring, shr_ring, sel_ring, value_ring, use_cnt, life_cnt,
+               size, lt_key, lt_shr, lt_value, lt_use, lt_life, lt_size,
+               sensory, last_mask):
+            lw, uw, lh, uh = pads
+            padded = jnp.pad(frames[:k_total],
+                             ((0, 0), (lh, uh), (lw, uw), (0, 0)))
+            ms, key_feat = model.apply(variables, padded,
+                                       method=DEVANetwork.encode_image)
+            key, shrinkage, selection = model.apply(
+                variables, key_feat, method=DEVANetwork.transform_key)
+            kk, hq, wq, ck = key.shape
+            q = hq * wq
+            qk_all = key.reshape(kk * q, ck)
+            qe_all = selection.reshape(kk * q, ck)
+
+            rd, work_usage_arr, lt_usage = self._attend_rings(
+                qk_all, qe_all, key_ring, shr_ring, value_ring, size,
+                lt_key, lt_shr, lt_value, lt_size, use_lt, work_usage)
+            cap = key_ring.shape[0]
+            if work_usage:
+                valid_w = jnp.arange(cap) < size
+                use_cnt = use_cnt + jnp.where(valid_w, work_usage_arr, 0.0)
+                life_cnt = life_cnt + jnp.where(valid_w, float(k_total), 0.0)
+            if use_lt and count_lt_usage:
+                valid_l = jnp.arange(lt_key.shape[0]) < lt_size
+                lt_use = lt_use + jnp.where(valid_l, lt_usage, 0.0)
+                lt_life = lt_life + jnp.where(valid_l, float(k_total), 0.0)
+
+            o_cap = sensory.shape[0]
+            cv = rd.shape[-1]
+            # rd [O, K*Q, Cv] (query rows frame-major) -> per-frame readouts
+            readouts = rd.reshape(o_cap, kk, q, cv).transpose(1, 0, 2, 3) \
+                         .reshape(kk, 1, o_cap, hq, wq, cv)
+            selector = (jnp.arange(o_cap) < num_obj).astype(jnp.float32)[None]
+
+            def decode(ms_i, readout_i, sensory, last_mask):
+                new_sensory, _, prob = model.apply(
+                    variables, ms_i, readout_i, sensory[None],
+                    last_mask[None], selector=selector, update_sensory=True,
+                    method=DEVANetwork.segment)
+                return new_sensory[0], prob[0]
+
+            def body(carry, inp):
+                sensory, last_mask = carry
+                ms_i, readout_i = inp
+                new_sensory, prob = decode(ms_i, readout_i, sensory,
+                                           last_mask)
+                return (new_sensory, prob[1:]), prob
+
+            if n_read > 0:
+                ms_scan = jax.tree_util.tree_map(
+                    lambda x: x[:n_read, None], ms)
+                (sensory, last_mask), probs = jax.lax.scan(
+                    body, (sensory, last_mask),
+                    (ms_scan, readouts[:n_read]))
+            else:
+                probs = None
+
+            if write_last:
+                ms_w = jax.tree_util.tree_map(
+                    lambda x: x[n_read][None], ms)
+                sensory, prob_w = decode(ms_w, readouts[n_read], sensory,
+                                         last_mask)
+                last_mask = prob_w[1:]
+                value, deep_sensory = model.apply(
+                    variables, padded[n_read][None], ms[0][n_read][None],
+                    sensory[None], last_mask[None], deep_update=True,
+                    method=DEVANetwork.encode_mask)
+                sensory = deep_sensory[0]
+                new_key = key[n_read].reshape(q, ck)
+                new_shr = shrinkage[n_read].reshape(q)
+                vals = value[0].reshape(o_cap, q, -1).transpose(1, 0, 2)
+                key_ring = jax.lax.dynamic_update_slice(
+                    key_ring, new_key.astype(key_ring.dtype), (size, 0))
+                shr_ring = jax.lax.dynamic_update_slice(
+                    shr_ring, new_shr.astype(shr_ring.dtype), (size,))
+                if sel_ring is not None:
+                    new_sel = selection[n_read].reshape(q, ck)
+                    sel_ring = jax.lax.dynamic_update_slice(
+                        sel_ring, new_sel.astype(sel_ring.dtype), (size, 0))
+                value_ring = jax.lax.dynamic_update_slice(
+                    value_ring, vals.astype(value_ring.dtype), (size, 0, 0))
+                if use_cnt is not None:
+                    zeros = jnp.zeros((q,), use_cnt.dtype)
+                    use_cnt = jax.lax.dynamic_update_slice(
+                        use_cnt, zeros, (size,))
+                    life_cnt = jax.lax.dynamic_update_slice(
+                        life_cnt, zeros + 1e-7, (size,))
+                probs = prob_w[None] if probs is None else \
+                    jnp.concatenate([probs, prob_w[None]], 0)
+
+            h, w = frames.shape[1:3]
+            probs = probs[:, :, lh:lh + h, lw:lw + w]
+            if slice_channels:
+                probs = probs[:, :num_obj + 1]
+            return (probs, sensory, last_mask, key_ring, shr_ring, sel_ring,
+                    value_ring, use_cnt, life_cnt, lt_use, lt_life)
+
+        return fn
+
     def run_block(self, variables, frames, num_obj, bucket, lt,
                   sensory, last_mask, *, write_last: bool,
                   work_usage: bool, count_lt_usage: bool):
@@ -295,11 +445,12 @@ class FusedStepper:
         n_read = k - 1 if write_last else k
         pads = pad_amounts(h, w, 16)
         cache_key = ("block", n_read, write_last, use_lt, work_usage,
-                     count_lt_usage and use_lt)
+                     count_lt_usage and use_lt, self.preencode_blocks)
         if cache_key not in self._cache:
             self._cache[cache_key] = self._build_block(
                 n_read, write_last, use_lt, work_usage,
-                count_lt_usage and use_lt)
+                count_lt_usage and use_lt,
+                preencode=self.preencode_blocks)
         fn = self._cache[cache_key]
 
         if use_lt:

@@ -40,6 +40,48 @@ from deva_tpu.inference.eval_args import (add_common_eval_args,
 import dataclasses
 
 
+def _emit(ti, data, prob, args, processor, vid_reader, vid_name, out_path,
+          vid_length):
+    """Per-frame output handling: resize / argmax / palette PNG /
+    save_scores — identical for per-frame and block-stepped paths."""
+    info = data["info"]
+    frame = info["frame"]
+    shape = info["shape"]
+    need_resize = info["need_resize"]
+
+    if need_resize or args.flip or args.save_scores:
+        prob = np.asarray(prob)
+        if need_resize:
+            prob = resize_prob_to(prob, tuple(shape))
+        if args.flip:
+            prob = prob[..., ::-1]
+        out_mask = np.argmax(prob, axis=0)
+    else:
+        # device fast path: pull argmax ids, not f32 probs
+        out_mask = device_argmax_ids(prob)
+    out_mask = processor.object_manager.tmp_cls_to_obj_cls(out_mask)
+
+    if args.save_all or info["save"]:
+        this_out_path = path.join(out_path, vid_name)
+        os.makedirs(this_out_path, exist_ok=True)
+        out_img = Image.fromarray(out_mask.astype(np.uint8))
+        if vid_reader.get_palette() is not None:
+            out_img.putpalette(vid_reader.get_palette())
+        out_img.save(path.join(this_out_path, frame[:-4] + ".png"))
+
+    if args.save_scores:
+        np_path = path.join(args.output, "Scores", vid_name)
+        os.makedirs(np_path, exist_ok=True)
+        if ti == vid_length - 1:
+            np.save(path.join(np_path, "backward.npy"),
+                    {o.id: t for t, o in
+                     processor.object_manager.tmp_id_to_obj.items()},
+                    allow_pickle=True)
+        if args.save_all or info["save"]:
+            np.save(path.join(np_path, f"{frame[:-4]}.npy"),
+                    (prob * 255).astype(np.uint8))
+
+
 def main():
     parser = ArgumentParser()
     parser.add_argument("--d16_path", default="../DAVIS/2016")
@@ -52,6 +94,12 @@ def main():
     parser.add_argument("--use_all_masks", action="store_true")
     parser.add_argument("--save_scores", action="store_true")
     parser.add_argument("--flip", action="store_true")
+    parser.add_argument("--chunk", type=int, default=1,
+                        help="process maskless stretches in blocks of up to "
+                        "N frames via InferenceCore.step_chunk — one "
+                        "compiled launch per memory period instead of one "
+                        "per frame (see docs/PERFORMANCE.md). 1 = "
+                        "per-frame stepping, the reference's loop shape.")
     add_common_eval_args(parser)
     model, variables, base_cfg, args = get_model_and_config(parser)
     from deva_tpu.inference.eval_args import apply_obj_sharding
@@ -120,16 +168,33 @@ def main():
 
         with video_fault_barrier(vid_name, args.raise_on_error), \
                 Prefetcher(vid_reader) as prefetch:
+
+            def handle_output(ti, data, prob):
+                _emit(ti, data, prob, args, processor, vid_reader, vid_name,
+                      out_path, vid_length)
+
+            pending = []   # buffered (ti, data) runs for step_chunk
+
+            def flush(end: bool):
+                nonlocal total_process_time, total_frames
+                if not pending:
+                    return
+                start = time.perf_counter()
+                probs = processor.step_chunk(
+                    [d["rgb"] for _, d in pending], end=end)
+                probs[-1] = jax.block_until_ready(probs[-1])
+                total_process_time += time.perf_counter() - start
+                total_frames += len(pending)
+                for (pti, pdata), p in zip(pending, probs):
+                    handle_output(pti, pdata, p)
+                pending.clear()
+
             for ti, data in enumerate(prefetch):
                 image = data["rgb"]
                 mask = data.get("mask")
                 valid_labels = data.get("valid_labels")
                 if valid_labels is not None:
                     valid_labels = [int(v) for v in valid_labels]
-                info = data["info"]
-                frame = info["frame"]
-                shape = info["shape"]
-                need_resize = info["need_resize"]
 
                 if not first_mask_loaded:
                     if mask is not None:
@@ -139,7 +204,15 @@ def main():
 
                 if args.flip:
                     image = image[:, ::-1].copy()
+                    data["rgb"] = image
                     mask = mask[..., ::-1].copy() if mask is not None else None
+
+                if args.chunk > 1 and mask is None:
+                    pending.append((ti, data))
+                    if len(pending) >= args.chunk or ti == vid_length - 1:
+                        flush(end=(ti == vid_length - 1))
+                    continue
+                flush(end=False)
 
                 start = time.perf_counter()
                 prob = processor.step(image, mask, valid_labels,
@@ -147,38 +220,8 @@ def main():
                 prob = jax.block_until_ready(prob)
                 total_process_time += time.perf_counter() - start
                 total_frames += 1
-
-                if need_resize or args.flip or args.save_scores:
-                    prob = np.asarray(prob)
-                    if need_resize:
-                        prob = resize_prob_to(prob, tuple(shape))
-                    if args.flip:
-                        prob = prob[..., ::-1]
-                    out_mask = np.argmax(prob, axis=0)
-                else:
-                    # device fast path: pull argmax ids, not f32 probs
-                    out_mask = device_argmax_ids(prob)
-                out_mask = processor.object_manager.tmp_cls_to_obj_cls(out_mask)
-
-                if args.save_all or info["save"]:
-                    this_out_path = path.join(out_path, vid_name)
-                    os.makedirs(this_out_path, exist_ok=True)
-                    out_img = Image.fromarray(out_mask.astype(np.uint8))
-                    if vid_reader.get_palette() is not None:
-                        out_img.putpalette(vid_reader.get_palette())
-                    out_img.save(path.join(this_out_path, frame[:-4] + ".png"))
-
-                if args.save_scores:
-                    np_path = path.join(args.output, "Scores", vid_name)
-                    os.makedirs(np_path, exist_ok=True)
-                    if ti == vid_length - 1:
-                        np.save(path.join(np_path, "backward.npy"),
-                                {o.id: t for t, o in
-                                 processor.object_manager.tmp_id_to_obj.items()},
-                                allow_pickle=True)
-                    if args.save_all or info["save"]:
-                        np.save(path.join(np_path, f"{frame[:-4]}.npy"),
-                                (prob * 255).astype(np.uint8))
+                handle_output(ti, data, prob)
+            flush(end=False)
 
     stop_profile(args.profile)
     print(f"Total processing time: {total_process_time}")

@@ -34,6 +34,27 @@ def test_eval_vos_example():
     assert (m0 > 0).any()
 
 
+def test_eval_vos_chunked_matches_per_frame():
+    """--chunk N (block stepping via step_chunk: batched K-frame encode +
+    one K*Q-query attention + decode-only scan) must write the same masks
+    as the per-frame loop."""
+    a = _run(["evaluation/eval_vos.py", "--dataset", "G",
+              "--generic_path", "./example/vos", "--output",
+              "/tmp/_smoke_vos_pf", "--model", "", "--size", "240",
+              "--top_k", "8"])
+    assert a.returncode == 0, a.stderr[-2000:]
+    b = _run(["evaluation/eval_vos.py", "--dataset", "G",
+              "--generic_path", "./example/vos", "--output",
+              "/tmp/_smoke_vos_ck", "--model", "", "--size", "240",
+              "--top_k", "8", "--chunk", "8"])
+    assert b.returncode == 0, b.stderr[-2000:]
+    for f in sorted(os.listdir("/tmp/_smoke_vos_pf/bmx-trees")):
+        pa = np.array(Image.open(f"/tmp/_smoke_vos_pf/bmx-trees/{f}"))
+        pb = np.array(Image.open(f"/tmp/_smoke_vos_ck/bmx-trees/{f}"))
+        # identical up to float-noise boundary pixels (argmax flips)
+        assert (pa != pb).mean() < 5e-3, f
+
+
 def test_eval_with_detections_batched_vipseg_postpipeline():
     """--dataset vipseg in the batched driver writes the aggregate pred.json
     and runs the stuff merge, like the sequential driver

