@@ -47,7 +47,8 @@ _SLOW_MODULES = {
     "test_step_chunk",
     "test_replay_detector", "test_ext_processors", "test_drivers_smoke",
     "test_ref_drivers_smoke",
-    "test_training", "test_train_driver", "test_lt_eviction",
+    "test_training", "test_train_driver", "test_learning",
+    "test_lt_eviction",
     "test_detection_parity", "test_consensus_associated",
     "test_object_sharding",
     # HF-model-driven suites (torch forward passes)
