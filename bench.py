@@ -63,7 +63,10 @@ def bench_single(model, variables, cfg, frames, mask0, warmup, measure):
         _ = float(p[0, 0, 0])
         return time.perf_counter() - t0
 
-    times = [window() for _ in range(3)]
+    # 5 windows (vs 3 for the much longer batched windows): the first
+    # window after the warmup readback often carries relay-scheduling
+    # stragglers, and the median over 5 shrugs one bad window off.
+    times = [window() for _ in range(5)]
     print(f"single window times: {[round(t, 2) for t in times]}s "
           f"({measure} frames each)", file=sys.stderr)
     return measure / _median(times)
