@@ -254,8 +254,15 @@ def main():
         }))
         return
 
-    dtype = "bfloat16" if "--f32" not in sys.argv else "float32"
-    model = DEVANetwork(ModelConfig(dtype=dtype))
+    # The benched configuration IS the shipped default: ModelConfig() /
+    # InferenceConfig() resolve dtype/ring_dtype 'auto' -> bf16 on TPU
+    # (deva_tpu/config.py:resolve_dtype). --f32 forces float32 everywhere.
+    if "--f32" in sys.argv:
+        model = DEVANetwork(ModelConfig(dtype="float32"))
+        ring = "float32"
+    else:
+        model = DEVANetwork(ModelConfig())
+        ring = "auto"
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
         jnp.zeros((1, 1, 32, 32)), jnp.zeros((1, 1, 2, 2, 512)))
@@ -264,7 +271,7 @@ def main():
     # --no-pallas forces the XLA dense paths, --pallas forces the kernels
     pallas = ("auto" if "--no-pallas" not in sys.argv else False) \
         if "--pallas" not in sys.argv else True
-    cfg = InferenceConfig(ring_dtype=dtype, use_pallas_attention=pallas)
+    cfg = InferenceConfig(ring_dtype=ring, use_pallas_attention=pallas)
 
     rng = np.random.default_rng(0)
     base = rng.standard_normal((h, w, 3)).astype(np.float32)

@@ -11,6 +11,23 @@ import dataclasses
 import jax.numpy as jnp
 
 
+def _backend_is_tpu() -> bool:
+    """Resolution point for the 'auto' dtype defaults (monkeypatched in
+    tests/test_amp.py to exercise the TPU-default resolution on CPU)."""
+    import jax
+    return jax.default_backend() == "tpu"
+
+
+def resolve_dtype(name: str) -> str:
+    """'auto' -> 'bfloat16' on TPU, 'float32' elsewhere; other names pass
+    through. The shipped defaults ARE the benched configuration on TPU
+    (BENCH_r04: bf16 compute + bf16 rings; drift bounded in
+    tests/test_amp.py), while CPU (tests, differential parity) stays f32."""
+    if name == "auto":
+        return "bfloat16" if _backend_is_tpu() else "float32"
+    return name
+
+
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:
     """Architecture hyperparameters.
@@ -27,11 +44,13 @@ class ModelConfig:
     # Attention similarity/softmax, logit aggregation and the final prediction
     # conv stay in f32 regardless (reference keeps f32 islands:
     # reference:deva/model/network.py:33-40, big_modules.py:189-190).
-    dtype: str = "float32"
+    # 'auto' = bfloat16 on TPU (the benched serving default), f32 elsewhere.
+    dtype: str = "auto"
 
     @property
     def compute_dtype(self):
-        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+        return jnp.bfloat16 if resolve_dtype(self.dtype) == "bfloat16" \
+            else jnp.float32
 
 
 @dataclasses.dataclass(frozen=True)
@@ -106,7 +125,14 @@ class InferenceConfig:
 
     # dtype of the memory rings (keys/values). bfloat16 halves ring HBM and
     # feeds the MXU natively; similarity still accumulates in f32.
-    ring_dtype: str = "float32"
+    # 'auto' = bfloat16 on TPU (the benched serving default), f32 elsewhere.
+    ring_dtype: str = "auto"
+
+    @property
+    def ring_jnp_dtype(self):
+        import jax.numpy as jnp
+        return jnp.bfloat16 if resolve_dtype(self.ring_dtype) == "bfloat16" \
+            else jnp.float32
 
     # object-axis padding buckets: device tensors over the object axis are padded
     # up to the next entry so frame-to-frame steps never retrace as objects churn.

@@ -22,7 +22,9 @@ def add_common_eval_args(parser: ArgumentParser) -> None:
     parser.add_argument("--save_all", action="store_true",
                         help="Save all frames")
     parser.add_argument("--amp", action="store_true",
-                        help="bfloat16 compute (TPU-native mixed precision)")
+                        help="force bfloat16 compute on any backend (on TPU "
+                        "bf16 is already the default; use --ring_dtype "
+                        "float32 to opt out)")
 
     # model dims
     parser.add_argument("--key_dim", type=int, default=64)
@@ -56,8 +58,8 @@ def add_common_eval_args(parser: ArgumentParser) -> None:
                         "parity) or approx (TPU-native, much faster); "
                         "auto = approx on TPU")
     parser.add_argument("--ring_dtype", default=None,
-                        help="memory ring dtype (float32/bfloat16; defaults "
-                        "to bfloat16 with --amp)")
+                        help="memory ring dtype (float32/bfloat16; default "
+                        "bfloat16 on TPU, float32 elsewhere)")
     parser.add_argument("--obj_shards", type=int, default=1,
                         help="shard the object axis over this many devices "
                         "('model' mesh axis; XLA partitions the grouped "
@@ -135,7 +137,9 @@ def report_max_memory():
 
 
 def make_inference_config(args, **overrides) -> InferenceConfig:
-    ring_dtype = args.ring_dtype or ("bfloat16" if args.amp else "float32")
+    # default 'auto': bf16 rings on TPU (the benched serving config),
+    # f32 elsewhere; --amp forces bf16 on any backend
+    ring_dtype = args.ring_dtype or ("bfloat16" if args.amp else "auto")
     kw = dict(
         mem_every=args.mem_every,
         top_k=args.top_k,
@@ -218,7 +222,7 @@ def get_model_and_config(parser: ArgumentParser):
     args = parser.parse_args()
     mc = ModelConfig(pix_feat_dim=args.pix_feat_dim, key_dim=args.key_dim,
                      value_dim=args.value_dim,
-                     dtype="bfloat16" if args.amp else "float32")
+                     dtype="bfloat16" if args.amp else "auto")
     model = DEVANetwork(mc)
     variables = load_variables(model, args.model)
     cfg = make_inference_config(args)

@@ -266,8 +266,7 @@ class MemoryEngine:
         self.topk_method = config.topk_method
         self.use_long_term = config.enable_long_term
         self.count_long_term_usage = config.enable_long_term_count_usage
-        self.ring_dtype = jnp.bfloat16 if config.ring_dtype == "bfloat16" \
-            else jnp.float32
+        self.ring_dtype = config.ring_jnp_dtype
 
         self.hw: Optional[int] = None  # tokens per frame (set on first add)
         self.h = self.w = None

@@ -94,7 +94,7 @@ def train_toy(steps: int = 120, b: int = 8, t: int = 4, lr: float = 3e-4,
               n_data: int = None, seed: int = 0, log_every: int = 10,
               log=print):
     """Train tiny DEVA from scratch on moving squares; returns
-    ({"params", "batch_stats"} variables, [per-log-step total_loss])."""
+    (model, {"params", "batch_stats"} variables, [per-log-step total_loss])."""
     import jax
     import jax.numpy as jnp
     from deva_tpu.config import TrainConfig

@@ -221,7 +221,12 @@ def main():
                 total_process_time += time.perf_counter() - start
                 total_frames += 1
                 handle_output(ti, data, prob)
-            flush(end=False)
+            # defensive: pending is normally drained inside the loop (the
+            # ti == vid_length-1 flush); if vid_length metadata ever
+            # overstates the frame count, the video IS over here, so the
+            # stragglers must get the end-of-video step (sensory freeze)
+            # like the per-frame path would
+            flush(end=True)
 
     stop_profile(args.profile)
     print(f"Total processing time: {total_process_time}")

@@ -141,6 +141,56 @@ def test_bf16_whole_clip_budget():
             f"{margin[flips].max():.3f}")
 
 
+def test_auto_dtype_defaults_resolve_to_benched_config(monkeypatch):
+    """The shipped defaults ARE the benched configuration: ModelConfig() /
+    InferenceConfig() resolve dtype/ring_dtype 'auto' to bf16 on TPU and f32
+    elsewhere (deva_tpu/config.py:resolve_dtype), so bench.py's recorded
+    number is what a user gets with no flags."""
+    import deva_tpu.config as dconf
+    assert ModelConfig().dtype == "auto"
+    assert InferenceConfig().ring_dtype == "auto"
+    # on this CPU test box the defaults stay f32 (parity / differential runs)
+    assert ModelConfig().compute_dtype == jnp.float32
+    assert InferenceConfig().ring_jnp_dtype == jnp.float32
+    # on a TPU backend the same defaults resolve to the benched bf16 config
+    monkeypatch.setattr(dconf, "_backend_is_tpu", lambda: True)
+    assert ModelConfig().compute_dtype == jnp.bfloat16
+    assert InferenceConfig().ring_jnp_dtype == jnp.bfloat16
+
+
+def test_auto_dtype_default_path_runs(monkeypatch):
+    """Drive one InferenceCore step through the TPU-resolved defaults
+    (backend detection monkeypatched, everything else stock) so the exact
+    default-construction path the bench measures is executed in CI."""
+    import deva_tpu.config as dconf
+    monkeypatch.setattr(dconf, "_backend_is_tpu", lambda: True)
+    from deva_tpu.inference.core import InferenceCore
+
+    model = DEVANetwork(ModelConfig())
+    assert model.config.compute_dtype == jnp.bfloat16
+    cv = model.config.value_dim
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                           jnp.zeros((1, 1, 32, 32)),
+                           jnp.zeros((1, 1, 2, 2, cv)))
+    cfg = InferenceConfig()
+    # pallas stays off (resolve_use_pallas checks the real backend), so this
+    # runs the XLA paths with bf16 compute + bf16 rings — the measured-policy
+    # serving configuration at sub-threshold shapes
+    core = InferenceCore(model, variables, cfg)
+    rng = np.random.default_rng(0)
+    # 96x96 -> 36 ring tokens on the first step, above the DEFAULT top_k=30
+    # (the config must stay untouched: the point is default construction)
+    mask0 = np.zeros((96, 96), np.int64)
+    mask0[8:48, 8:60] = 1
+    frame = rng.standard_normal((96, 96, 3)).astype(np.float32)
+    prob = core.step(frame, mask0, objects=[1])
+    assert core.memory.ring_dtype == jnp.bfloat16
+    p = np.asarray(prob, np.float32)
+    assert p.shape[0] == 2 and np.isfinite(p).all()
+    prob = core.step(rng.standard_normal((96, 96, 3)).astype(np.float32))
+    assert np.isfinite(np.asarray(prob, np.float32)).all()
+
+
 def test_upsample_bilinear_bf16_matches_f32():
     from deva_tpu.ops.resize import upsample_bilinear
     rng = np.random.default_rng(1)

@@ -48,6 +48,9 @@ def test_eval_vos_chunked_matches_per_frame():
               "/tmp/_smoke_vos_ck", "--model", "", "--size", "240",
               "--top_k", "8", "--chunk", "8"])
     assert b.returncode == 0, b.stderr[-2000:]
+    # same file set first — extra/missing/renamed chunked outputs must fail
+    assert (sorted(os.listdir("/tmp/_smoke_vos_pf/bmx-trees")) ==
+            sorted(os.listdir("/tmp/_smoke_vos_ck/bmx-trees")))
     for f in sorted(os.listdir("/tmp/_smoke_vos_pf/bmx-trees")):
         pa = np.array(Image.open(f"/tmp/_smoke_vos_pf/bmx-trees/{f}"))
         pb = np.array(Image.open(f"/tmp/_smoke_vos_ck/bmx-trees/{f}"))
