@@ -26,14 +26,37 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     return Mesh(devs, ("data", "model"))
 
 
+def is_multiprocess(mesh: Mesh) -> bool:
+    """True when the mesh spans devices of more than one JAX process
+    (multi-host DCN training via jax.distributed.initialize)."""
+    me = jax.process_index()
+    return any(d.process_index != me for d in mesh.devices.flat)
+
+
 def shard_batch(mesh: Mesh, batch):
-    """Shard every array's leading (batch) axis over 'data'."""
+    """Shard every array's leading (batch) axis over 'data'.
+
+    Single-process: device_put of the full batch. Multi-process (multihost
+    training): each process passes its LOCAL batch slice — per-process
+    loaders yield global_batch/process_count samples, the reference's
+    DDP batch division (reference:deva/train.py:59-63) — and the global
+    array is assembled without any cross-host data movement."""
     sharding = NamedSharding(mesh, P("data"))
+    if is_multiprocess(mesh):
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
 def replicate(mesh: Mesh, tree):
     sharding = NamedSharding(mesh, P())
+    if is_multiprocess(mesh):
+        # every process holds the identical full array (same-seed init /
+        # same checkpoint), so local data == global data
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), tree)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 

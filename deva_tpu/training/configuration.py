@@ -86,6 +86,19 @@ class Configuration:
                             help="call jax.distributed.initialize() for "
                                  "pod-slice (multi-host DCN) training; run "
                                  "the same command on every host")
+        parser.add_argument("--coordinator_address", default=None,
+                            help="host:port of process 0's coordination "
+                                 "service for --multihost (default: "
+                                 "auto-detect, which works on Cloud TPU "
+                                 "pods; set explicitly elsewhere, e.g. the "
+                                 "2-process CPU dryrun in "
+                                 "tests/test_multihost.py)")
+        parser.add_argument("--num_processes", type=int, default=None,
+                            help="total process count for --multihost "
+                                 "(default: auto-detect)")
+        parser.add_argument("--process_id", type=int, default=None,
+                            help="this process's rank for --multihost "
+                                 "(default: auto-detect)")
         parser.add_argument("--n_devices", type=int, default=-1,
                             help="data-parallel devices (-1 = all)")
 

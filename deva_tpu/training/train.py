@@ -45,15 +45,22 @@ def _numpy_collate(batch):
 
 
 def build_loader(dataset, batch_size: int, num_workers: int, seed: int):
+    import torch
     from torch.utils.data import DataLoader
 
     def worker_init_fn(worker_id):
         np.random.seed(seed + worker_id)
         random.seed(seed + worker_id)
 
+    # deterministic shuffle, decorrelated across hosts (the multihost
+    # analog of the reference's DistributedSampler epoch seeding,
+    # reference:deva/train.py:119-121 — each host draws an independent
+    # stream over the augmented datasets rather than a disjoint partition)
+    gen = torch.Generator()
+    gen.manual_seed(1000 * seed + jax.process_index())
     return DataLoader(dataset, batch_size=batch_size, shuffle=True,
                       num_workers=num_workers, drop_last=True,
-                      collate_fn=_numpy_collate,
+                      collate_fn=_numpy_collate, generator=gen,
                       worker_init_fn=worker_init_fn)
 
 
@@ -70,9 +77,12 @@ def main(argv=None):
         # docs/TRAINING.md:42); gradients still all-reduce through the
         # compiler-inserted psum — over ICI within a slice, DCN across.
         from jax import distributed as jax_distributed
-        jax_distributed.initialize()
+        jax_distributed.initialize(
+            coordinator_address=raw_config["coordinator_address"],
+            num_processes=raw_config["num_processes"],
+            process_id=raw_config["process_id"])
         print(f"multi-host: process {jax.process_index()} of "
-              f"{jax.process_count()}")
+              f"{jax.process_count()}", flush=True)
 
     n_devices = raw_config["n_devices"]
     if n_devices <= 0:
@@ -95,6 +105,10 @@ def main(argv=None):
         batch_size = stage_params["batch_size"]
         assert batch_size % n_devices == 0, \
             f"batch {batch_size} must divide over {n_devices} devices"
+        # per-process loader batch: the global batch divides over hosts,
+        # as the reference divides by world size (reference:deva/train.py:
+        # 59-63); single-host keeps the full batch
+        local_batch = batch_size // jax.process_count()
 
         long_id = None
         if exp_id.lower() != "null":
@@ -164,7 +178,7 @@ def main(argv=None):
                 (path.join(static_root, "HRSOD_small"), 1, 5),
             ], num_frames=cfg.num_frames, max_num_obj=1,
                size=raw_config["crop_size"])
-            loader = build_loader(dataset, batch_size,
+            loader = build_loader(dataset, local_batch,
                                   raw_config["num_workers"], seed=total_iter)
             renew_loader = None
         else:
@@ -200,7 +214,7 @@ def main(argv=None):
                 print(f"Renewed loaders with max_skip={max_skip}; "
                       f"sizes: davis={len(davis)}, yv={len(yv)}, "
                       f"ovis={len(ovis)}")
-                return build_loader(mixed, batch_size,
+                return build_loader(mixed, local_batch,
                                     raw_config["num_workers"],
                                     seed=total_iter)
 
@@ -229,7 +243,12 @@ def main(argv=None):
                     batch.pop("num_objects", None)
                     sharded = shard_batch(mesh, batch)
                     key, sub = jax.random.split(key)
-                    state, metrics = train_step(state, sharded, sub)
+                    # numpy key: multi-process jit accepts host-local numpy
+                    # as replicated input (same seed on every host); a
+                    # process-committed device array would not reshard
+                    # across hosts
+                    state, metrics = train_step(state, sharded,
+                                                np.asarray(sub))
                     integrator.add_dict(
                         {k: v for k, v in metrics.items()
                          if k in ("total_loss", "p", "grad_norm")})
