@@ -83,41 +83,55 @@ class BatchedDetectionPropagator:
     # -- stacking ----------------------------------------------------------
 
     def attach(self, cores: Sequence[InferenceCore]) -> None:
-        """Stack the cores' multi-bucket state. Every core must be engaged
-        (first detection/mask incorporated) and share one padded
-        resolution."""
+        """Stack the cores' multi-bucket state. Cores share one padded
+        resolution. A core that is NOT engaged (its detections have all come
+        up empty so far, or every object was purged after repeated missed
+        detections — production tolerates num_obj == 0,
+        reference:deva/inference/inference_core.py:57-59) rides along as an
+        EMPTY lane: zero-size rings (the vmapped body's 1-token attention
+        floor and rowcnt masks make it NaN-free and side-effect-free), and
+        detach restores only its frame clocks. It re-enters normally once a
+        later detection engages it."""
         self.cores = list(cores)
         b = len(cores)
         assert b > 0
+        eng = [c.memory is not None and c.memory.engaged for c in cores]
+        self._engaged = eng
+        assert any(eng), (
+            "attach needs at least one engaged video to define the stacked "
+            "shapes; step all-empty groups per-core instead")
+        ref = cores[eng.index(True)]
         if self.mesh is not None:
             nd = self.mesh.shape["data"]
             assert b % nd == 0, (
                 f"batch {b} must divide over the {nd}-device 'data' axis "
                 "(pad the video group or shrink the mesh)")
-        for c in cores:
-            assert c.memory is not None and c.memory.engaged
+        engaged_cores = [c for c, e in zip(cores, eng) if e]
+        for c in engaged_cores:
             assert c.memory.use_long_term == self.use_lt
             # lockstep state is stacked into shared-shape arrays: a core
             # with a different padded resolution / dims / ring dtype would
             # silently advance sizes in the wrong hw quantum
-            assert c.memory.hw == cores[0].memory.hw, \
+            assert c.memory.hw == ref.memory.hw, \
                 "all videos in a batch must share the padded resolution"
-            assert (c.memory.ck, c.memory.cv) == (cores[0].memory.ck,
-                                                  cores[0].memory.cv)
+            assert (c.memory.ck, c.memory.cv) == (ref.memory.ck,
+                                                  ref.memory.cv)
             assert (list(c.memory.buckets.values())[0].key.dtype ==
-                    list(cores[0].memory.buckets.values())[0].key.dtype), \
+                    list(ref.memory.buckets.values())[0].key.dtype), \
                 "all videos in a batch must share the ring dtype"
-        self.o_cap = max(c.o_cap for c in cores)
-        n_slots = _slot_bucket(max(len(c.memory.buckets) for c in cores))
+        self.o_cap = max(max(c.o_cap for c in cores), 1)
+        n_slots = _slot_bucket(max(len(c.memory.buckets)
+                                   for c in engaged_cores))
         self.n_slots = n_slots
-        self.o_slot = max(bk.o_cap for c in cores
+        self.o_slot = max(bk.o_cap for c in engaged_cores
                           for bk in c.memory.buckets.values())
-        cap = max(bk.cap for c in cores for bk in c.memory.buckets.values())
-        self.hw = cores[0].memory.hw
+        cap = max(bk.cap for c in engaged_cores
+                  for bk in c.memory.buckets.values())
+        self.hw = ref.memory.hw
         cap = _round_up(cap, self.hw)
-        ck, cv = cores[0].memory.ck, cores[0].memory.cv
+        ck, cv = ref.memory.ck, ref.memory.cv
         self._ck, self._cv = ck, cv
-        dt = list(cores[0].memory.buckets.values())[0].key.dtype
+        dt = list(ref.memory.buckets.values())[0].key.dtype
         self._ring_dtype = dt
 
         self.sizes = np.zeros((b, n_slots), np.int64)
@@ -136,7 +150,7 @@ class BatchedDetectionPropagator:
                 sl = jnp.zeros((n_slots, cap, ck), dt)
                 us = jnp.zeros((n_slots, cap), jnp.float32)
                 lf = jnp.zeros((n_slots, cap), jnp.float32)
-            bids = sorted(c.memory.buckets.keys())
+            bids = sorted(c.memory.buckets.keys()) if eng[vi] else []
             self._slot_bids.append(bids)
             for si, bid in enumerate(bids):
                 bk = c.memory.buckets[bid]
@@ -158,13 +172,23 @@ class BatchedDetectionPropagator:
                 sel_l.append(sl)
                 use_l.append(us)
                 life_l.append(lf)
-            pad_o = self.o_cap - c.memory.sensory.shape[0]
-            sen_l.append(jnp.pad(c.memory.sensory,
-                                 ((0, pad_o), (0, 0), (0, 0), (0, 0))))
-            lm_l.append(jnp.pad(c.last_mask,
-                                ((0, self.o_cap - c.last_mask.shape[0]),
-                                 (0, 0), (0, 0))))
-            nobj.append(c.object_manager.num_obj)
+            if eng[vi]:
+                pad_o = self.o_cap - c.memory.sensory.shape[0]
+                sen_l.append(jnp.pad(c.memory.sensory,
+                                     ((0, pad_o), (0, 0), (0, 0), (0, 0))))
+                lm_l.append(jnp.pad(c.last_mask,
+                                    ((0, self.o_cap - c.last_mask.shape[0]),
+                                     (0, 0), (0, 0))))
+            else:
+                # empty lane: fresh zero state at the batch's shared shapes
+                # (a purged core's stale sensory/last_mask must not leak in)
+                sen_l.append(jnp.zeros(
+                    (self.o_cap,) + ref.memory.sensory.shape[1:],
+                    ref.memory.sensory.dtype))
+                lm_l.append(jnp.zeros(
+                    (self.o_cap,) + ref.last_mask.shape[1:],
+                    ref.last_mask.dtype))
+            nobj.append(c.object_manager.num_obj if eng[vi] else 0)
         self.key = jnp.stack(key_l)
         self.shr = jnp.stack(shr_l)
         self.value = jnp.stack(val_l)
@@ -226,6 +250,13 @@ class BatchedDetectionPropagator:
             return jnp.pad(a, pad)
 
         for vi, c in enumerate(self.cores):
+            if not self._engaged[vi]:
+                # empty lane: only the frame clocks advanced; its (absent)
+                # memory, sensory and last_mask stay untouched so a later
+                # incorporate_detection re-engages it from a clean state
+                c.curr_ti = int(self.curr_ti[vi])
+                c.last_mem_ti = int(self.last_mem_ti[vi])
+                continue
             for si, bid in enumerate(self._slot_bids[vi]):
                 bk = c.memory.buckets[bid]
                 need = int(self.sizes[vi, si])

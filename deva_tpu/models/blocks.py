@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Any, List, Sequence
 
 import flax.linen as nn
+import jax.lax as lax
 import jax.numpy as jnp
 
 from deva_tpu.ops.resize import downsample_area, upsample_bilinear
@@ -131,18 +132,93 @@ class CBAM(nn.Module):
         return x * nn.sigmoid(gate)
 
 
+class _SlicedConv(nn.Module):
+    """A conv whose kernel is declared at the full concatenated input width
+    but applied to channel SLICES of it — the machinery behind
+    _SharedCatResBlock. Parameter names/shapes/init are identical to
+    nn.Conv(features, (k, k)) on the concatenated input ('kernel'/'bias',
+    lecun_normal/zeros), so checkpoints and the torch converter are
+    unaffected."""
+    features: int
+    in_features: int
+    kernel_size: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, lo: int, hi: int, bias: bool):
+        k = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k, k, self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        pad = ((k // 2, k // 2), (k // 2, k // 2))
+        out = lax.conv_general_dilated(
+            x.astype(self.dtype), kernel[:, :, lo:hi, :].astype(self.dtype),
+            window_strides=(1, 1), padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if bias:
+            out = out + b.astype(self.dtype)
+        return out
+
+
+class _SharedCatResBlock(nn.Module):
+    """GroupResBlock over cat([x broadcast over O, g]) WITHOUT materializing
+    the concat or recomputing the x half per object. A conv over
+    concatenated channels is the sum of convs over the parts, and
+    relu(cat(x, g)) = cat(relu(x), relu(g)), so conv1 and the projection
+    shortcut split into an x-slice (computed ONCE per frame, broadcast over
+    objects) and a g-slice (per object). Parameters are bit-identical to
+    GroupResBlock(distribute_cat(x, g)) — same paths (conv1/conv2/
+    downsample), same shapes, same init — only the compute schedule
+    changes; outputs differ from the fused conv by float summation order
+    only. This is the many-object attack on the decoder/mask-encoder
+    fusers: the frame-feature half of conv1 (3x3 Cx->mid, ~7.6 GFLOP at
+    480p serving shape) no longer scales with object count."""
+    out_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, g):
+        x = x.astype(self.dtype)
+        g = g.astype(self.dtype)
+        cx, cg = x.shape[-1], g.shape[-1]
+        in_dim = cx + cg
+        assert in_dim != self.out_dim, \
+            "identity shortcut would need the materialized concat"
+        conv1 = _SlicedConv(self.out_dim, in_dim, 3, dtype=self.dtype,
+                            name="conv1")
+        down = _SlicedConv(self.out_dim, in_dim, 1, dtype=self.dtype,
+                           name="downsample")
+
+        # once per frame: the object-invariant halves
+        shared1 = conv1(nn.relu(x), 0, cx, bias=False)      # [B,h,w,mid]
+        shared_s = down(x, 0, cx, bias=False)
+
+        folded, bo = fold(g)
+        out = conv1(nn.relu(folded), cx, in_dim, bias=True)
+        out = unfold(out, bo) + shared1[:, None]
+        out, _ = fold(out)
+        out = nn.Conv(self.out_dim, (3, 3), padding=((1, 1), (1, 1)),
+                      dtype=self.dtype, name="conv2")(nn.relu(out))
+        short = down(folded, cx, in_dim, bias=True)
+        short = unfold(short, bo) + shared_s[:, None]
+        return unfold(out, bo) + short
+
+
 class GroupFeatureFusionBlock(nn.Module):
     """Fuse frame features with per-object features: cat-distribute ->
     GroupResBlock -> CBAM residual -> GroupResBlock.
-    reference:deva/model/group_modules.py:133-151."""
+    reference:deva/model/group_modules.py:133-151. block1 runs in the
+    decomposed _SharedCatResBlock form (identical parameters and math up to
+    float summation order; the frame-feature half computes once per frame
+    instead of per object)."""
     mid_dim: int
     out_dim: int
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, g):
-        g = distribute_cat(x.astype(self.dtype), g.astype(self.dtype))
-        g = GroupResBlock(self.mid_dim, dtype=self.dtype, name="block1")(g)
+        g = _SharedCatResBlock(self.mid_dim, dtype=self.dtype,
+                               name="block1")(x, g)
         folded, bo = fold(g)
         r = CBAM(self.mid_dim, dtype=self.dtype, name="attention")(folded)
         g = g + unfold(r, bo)

@@ -50,10 +50,10 @@ def make_clip(rng: np.random.Generator, t: int, h: int = 48, w: int = 48,
 
 
 def make_batch(rng: np.random.Generator, b: int, t: int, h: int = 48,
-               w: int = 48) -> Dict[str, np.ndarray]:
+               w: int = 48, size: int = 12) -> Dict[str, np.ndarray]:
     """Trainer-format batch (same keys as VOSDataset: rgb / first_frame_gt /
     cls_gt / selector)."""
-    rgbs, gts = zip(*[make_clip(rng, t, h, w) for _ in range(b)])
+    rgbs, gts = zip(*[make_clip(rng, t, h, w, size) for _ in range(b)])
     rgb = np.stack(rgbs)
     cls_gt = np.stack(gts)
     first = (cls_gt[:, 0] == 1)[:, None].astype(np.float32)
@@ -70,7 +70,8 @@ def tiny_model():
 
 
 def eval_iou(model, variables, n_clips: int = 3, t: int = 5,
-             seed: int = 999) -> float:
+             seed: int = 999, h: int = 48, w: int = 48,
+             size: int = 12) -> float:
     """Serve held-out clips with the real inference stack: first-frame mask
     in, propagate, mean IoU over the remaining frames."""
     from deva_tpu.config import InferenceConfig
@@ -79,7 +80,7 @@ def eval_iou(model, variables, n_clips: int = 3, t: int = 5,
     rng = np.random.default_rng(seed)
     ious = []
     for _ in range(n_clips):
-        frames, masks = make_clip(rng, t)
+        frames, masks = make_clip(rng, t, h, w, size)
         core = InferenceCore(model, variables, cfg)
         core.step(frames[0], masks[0], objects=[1])
         for ti in range(1, t):
@@ -92,9 +93,13 @@ def eval_iou(model, variables, n_clips: int = 3, t: int = 5,
 
 def train_toy(steps: int = 120, b: int = 8, t: int = 4, lr: float = 3e-4,
               n_data: int = None, seed: int = 0, log_every: int = 10,
-              log=print):
-    """Train tiny DEVA from scratch on moving squares; returns
-    (model, {"params", "batch_stats"} variables, [per-log-step total_loss])."""
+              log=print, model=None, h: int = 48, w: int = 48,
+              size: int = 12, remat: bool = False):
+    """Train DEVA from scratch on moving squares; returns
+    (model, {"params", "batch_stats"} variables, [per-log-step total_loss]).
+    Default model is the tiny-dim one; pass a full-width DEVANetwork (and a
+    larger h/w/size) for the production-shape proof
+    (scripts/train_fullwidth_proof.py)."""
     import jax
     import jax.numpy as jnp
     from deva_tpu.config import TrainConfig
@@ -102,15 +107,18 @@ def train_toy(steps: int = 120, b: int = 8, t: int = 4, lr: float = 3e-4,
     from deva_tpu.training.trainer import (init_train_state, make_optimizer,
                                            make_train_step)
 
-    model = tiny_model()
+    if model is None:
+        model = tiny_model()
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
-        jnp.zeros((1, 1, 32, 32)), jnp.zeros((1, 1, 2, 2, 32)))
+        jnp.zeros((1, 1, 32, 32)),
+        jnp.zeros((1, 1, 2, 2, model.config.value_dim)))
     # start_warm >> steps: keep the bootstrapped CE in its full-CE phase
     # (see module docstring).
     cfg = TrainConfig(num_frames=t, num_ref_frames=2, lr=lr,
                       start_warm=10 ** 6, end_warm=2 * 10 ** 6,
-                      iterations=10 * steps, steps=(8 * steps, 9 * steps))
+                      iterations=10 * steps, steps=(8 * steps, 9 * steps),
+                      remat=remat)
     tx = make_optimizer(cfg, schedule="step")
     if n_data is None:
         n_data = len(jax.devices())
@@ -123,8 +131,8 @@ def train_toy(steps: int = 120, b: int = 8, t: int = 4, lr: float = 3e-4,
     losses = []
     for i in range(steps):
         key, sub = jax.random.split(key)
-        state, metrics = step(state, shard_batch(mesh, make_batch(rng, b, t)),
-                              sub)
+        state, metrics = step(
+            state, shard_batch(mesh, make_batch(rng, b, t, h, w, size)), sub)
         if i % log_every == 0 or i == steps - 1:
             loss = float(metrics["total_loss"])
             losses.append(loss)

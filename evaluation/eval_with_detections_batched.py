@@ -155,6 +155,28 @@ def run_sequential_tail_online(vs: _VideoState, args, dataset_name,
                                path_to_image=info.get("path_to_image"))
 
 
+def _any_engaged(cores) -> bool:
+    return any(c.memory is not None and c.memory.engaged for c in cores)
+
+
+def _step_group_per_core(states, ti, k, dataset_name) -> None:
+    """All-empty-group fallback: NO video in the group has any objects yet
+    (every consensus so far came up empty), so there is no stacked state to
+    attach — step each core individually. core.step without memory returns
+    background and advances the frame clock, the reference's own no-object
+    behavior (reference:deva/inference/inference_core.py:57-59,211-215)."""
+    for i in range(k):
+        for vs in states:
+            data, info, _ = _frame_record(vs.reader, ti + i, dataset_name)
+            prob = vs.core.step(data["rgb"])
+            if info["save"]:
+                n = vs.core.object_manager.num_obj
+                vs.saver.save_mask(np.asarray(prob)[:n + 1], info["frame"],
+                                   need_resize=info["need_resize"],
+                                   shape=info["shape"],
+                                   path_to_image=info.get("path_to_image"))
+
+
 def run_group_online(model, variables, cfg, group, args,
                      dataset_name) -> int:
     """ONLINE lockstep: the detection cadence (ti % detection_every == 0)
@@ -202,13 +224,18 @@ def run_group_online(model, variables, cfg, group, args,
                         need_resize=info["need_resize"],
                         shape=info["shape"],
                         path_to_image=info.get("path_to_image"))
-            bp.attach(cores)
-            attached = True
+            if _any_engaged(cores):
+                bp.attach(cores)
+                attached = True
             ti += 1
         else:
-            assert attached
             span = min(args.detection_every - ti % args.detection_every,
                        min_len - ti)
+            if not attached:
+                _step_group_per_core(states, ti, span, dataset_name)
+                n_frames += len(states) * span
+                ti += span
+                continue
             k = bp.plan_block(min(span, cfg.mem_every))
             records_k = [[_frame_record(vs.reader, ti + i, dataset_name)
                           for vs in states] for i in range(k)]
@@ -256,9 +283,13 @@ def run_group(model, variables, cfg, group, args, dataset_name) -> int:
         if not (ti + args.num_voting_frames > next_voting):
             # plain propagation span before buffering resumes: consume it
             # in K-frame block launches (scan read frames + write frame)
-            assert attached
             span = min(next_voting - args.num_voting_frames + 1 - ti,
                        min_len - ti)
+            if not attached:
+                _step_group_per_core(states, ti, span, dataset_name)
+                n_frames += len(states) * span
+                ti += span
+                continue
             k = bp.plan_block(min(span, cfg.mem_every))
             records_k = [[_frame_record(vs.reader, ti + i, dataset_name)
                           for vs in states] for i in range(k)]
@@ -324,6 +355,22 @@ def run_group(model, variables, cfg, group, args, dataset_name) -> int:
                         path_to_image=buf0.path_to_image)
             next_voting += args.detection_every
             # batched propagation of the rest of the buffer
+            if not _any_engaged(cores):
+                # every consensus so far was empty: per-core buffer steps
+                for vs in states:
+                    for fi in vs.core.frame_buffer[1:]:
+                        prob = vs.core.step(fi.image)
+                        if fi.save_needed:
+                            n = vs.core.object_manager.num_obj
+                            vs.saver.save_mask(
+                                np.asarray(prob)[:n + 1], fi.name,
+                                need_resize=fi.info["need_resize"],
+                                shape=fi.shape,
+                                path_to_image=fi.path_to_image)
+                for vs in states:
+                    vs.core.clear_buffer()
+                ti += 1
+                continue
             bp.attach(cores)
             attached = True
             nbuf = len(states[0].core.frame_buffer)

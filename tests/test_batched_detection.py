@@ -157,6 +157,59 @@ def test_batched_detection_equals_sequential():
         assert s_b == b_b, (vi, s_b, b_b)
 
 
+def test_empty_lane_rides_along():
+    """A video whose detections have all come up empty (num_obj == 0 — the
+    reference tolerates this per-video, reference:deva/inference/
+    inference_core.py:57-59) must ride along in the batch as an EMPTY lane
+    instead of tripping attach, and must re-enter once a detection engages
+    it. Regression: a real VIPSeg-style run can purge every object of one
+    video (empty consensus x max_missed_detection_count) while the rest of
+    the group keeps propagating."""
+    model = DEVANetwork(ModelConfig())
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)),
+                           jnp.zeros((1, 1, 32, 32)),
+                           jnp.zeros((1, 1, 2, 2, 512)))
+    cfg = InferenceConfig(mem_every=2, top_k=8, enable_long_term=False,
+                          max_missed_detection_count=3, topk_method="exact")
+    det_every, t = 3, 6
+    rng = np.random.default_rng(33)
+    vid0 = _video(rng, t)
+    # vid1: NO detections until ti=3 (empty mask, empty segments)
+    f1, m1, i1 = _video(rng, t)
+    for ti in range(det_every):
+        m1[ti] = np.zeros((H, W), np.int64)
+        i1[ti] = []
+    vid1 = (f1, m1, i1)
+    vids = [vid0, vid1]
+
+    seq, seq_cores = _run_sequential(model, variables, cfg, vids, det_every)
+    got, cores = _run_batched(model, variables, cfg, vids, det_every)
+
+    # the engaged lane is unaffected by its empty neighbor
+    for ti in range(t):
+        r, o = seq[0][ti], got[0][ti]
+        assert r.shape == o.shape, (ti, r.shape, o.shape)
+        bad = (np.abs(o - r) > 5e-3).any(axis=0)
+        assert bad.mean() <= 0.02, f"frame {ti}: {bad.mean():.2%}"
+    # the empty lane outputs pure background until its first detection...
+    for ti in range(det_every):
+        assert got[1][ti].shape[0] == 1
+        assert (got[1][ti].argmax(0) == 0).all()
+    # ...then engages and matches the sequential flow
+    assert cores[1].memory is not None and cores[1].memory.engaged
+    for ti in range(det_every, t):
+        r, o = seq[1][ti], got[1][ti]
+        assert r.shape == o.shape, (ti, r.shape, o.shape)
+        bad = (np.abs(o - r) > 5e-3).any(axis=0)
+        assert bad.mean() <= 0.02, f"frame {ti}: {bad.mean():.2%}"
+    s_b = {bid: (b.size, len(b.obj_ids))
+           for bid, b in seq_cores[1].memory.buckets.items()}
+    b_b = {bid: (b.size, len(b.obj_ids))
+           for bid, b in cores[1].memory.buckets.items()}
+    assert s_b == b_b
+
+
 def test_batched_detection_state_roundtrip():
     """attach -> detach with no steps must leave core state untouched."""
     model = DEVANetwork(ModelConfig())
