@@ -258,23 +258,26 @@ def bench_detection(model, variables, cfg, *, batch, h, w, n_det_objects=4,
                 c.add_to_temporary_buffer(
                     FrameInfo(frames[vi, j], m, segs, ti0 + j, {}))
         t = _ph("buffer", t)
-        fwd = None
+        fwd_ids = None
         if attached:
-            fwd = bp.forward_probs([c.frame_buffer[0].image for c in cores])
+            # device-side argmax: uint8 ids, ~36x less tunnel traffic
+            fwd_ids = bp.forward_ids(
+                [c.frame_buffer[0].image for c in cores])
             t = _ph("forward", t)
             bp.detach()
             attached = False
             t = _ph("detach", t)
+        # all (video, frame) spatial alignments in ONE launch
+        projs = bp.align_consensus_batched(cores, keyframe_selection="first")
+        t = _ph("align", t)
         votes = list(pool.map(
-            lambda c: c.vote_in_temporary_buffer(keyframe_selection="first"),
-            cores))
+            lambda cp: cp[0].vote_in_temporary_buffer(
+                keyframe_selection="first", precomputed_proj=cp[1]),
+            zip(cores, projs)))
         t = _ph("consensus", t)
         for vi, c in enumerate(cores):
             _, consensus_mask, consensus_info = votes[vi]
-            fm = None
-            if fwd is not None:
-                n = c.object_manager.num_obj
-                fm = np.argmax(fwd[vi][:n + 1], axis=0)
+            fm = fwd_ids[vi] if fwd_ids is not None else None
             last_probs = c.incorporate_detection(
                 c.frame_buffer[0].image, consensus_mask, consensus_info,
                 forward_mask=fm)

@@ -705,6 +705,130 @@ class BatchedDetectionPropagator:
                              keep_last_mask=False, donate=False)
         return np.asarray(probs)
 
+    def forward_ids(self, frames) -> np.ndarray:
+        """forward_probs with DEVICE-side per-video masked argmax: returns
+        id maps [B, H, W] uint8 (ids 0..num_obj[vi], exactly
+        np.argmax(forward_probs(frames)[vi][:n+1], 0)). Through the
+        tunneled chip this pulls ~36x less than the f32 probability stack
+        (3.3 vs 119 MB at 480p/batch 8) — measured at 5.4 s/cycle of
+        forward time in the detection bench before this path."""
+        probs = self._launch(frames, mem_write=False, update_sensory=True,
+                             keep_last_mask=False, donate=False)
+        if "argmax_ids" not in self._fns:
+            def fn(p, n):
+                ok = jnp.arange(p.shape[1])[None, :, None, None] <= \
+                    n[:, None, None, None]
+                return jnp.argmax(jnp.where(ok, p, -1.0),
+                                  axis=1).astype(jnp.uint8)
+            self._fns["argmax_ids"] = jax.jit(fn)
+        assert self.o_cap < 255
+        return np.asarray(self._fns["argmax_ids"](probs, self.num_obj))
+
+    def align_consensus_batched(self, cores: Sequence[InferenceCore],
+                                keyframe_selection: str = "first"):
+        """Every (video, non-keyframe voting frame) spatial alignment of
+        in-clip consensus in ONE vmapped launch, with device-side masked
+        argmax readback. Semantics per item match
+        InferenceCore.spatial_alignment + np.argmax(proj, 0)
+        (reference:deva/inference/consensus_automatic.py:118-135) up to the
+        usual padded-channel softmax shift (the shared object pad is the
+        batch max). Returns per-video dicts {frame_index: id map [H, W]}
+        for vote_in_temporary_buffer(precomputed_proj=...).
+
+        Measured motivation (bench.py --detection phase breakdown, batch 8,
+        480p, TPU v5e via the relay): consensus was 67% of steady-state
+        cycle time at ~23 s/cycle — 16 sequential alignment launches, each
+        synchronously pulling an f32 [1+o, H, W] probability stack (~8 MB)
+        through the ~34 MB/s tunnel. One launch + uint8-sized readbacks
+        removes 15 round-trips and ~97% of the bytes."""
+        items = []
+        per_video: List[Dict[int, np.ndarray]] = [dict() for _ in cores]
+        for vi, c in enumerate(cores):
+            frames = c.frame_buffer
+            if not frames:
+                continue
+            if keyframe_selection == "last":
+                ki = len(frames) - 1
+            elif keyframe_selection == "first":
+                ki = 0
+            elif keyframe_selection == "middle":
+                ki = (len(frames) + 1) // 2
+            else:
+                raise NotImplementedError(keyframe_selection)
+            h, w = frames[0].image.shape[:2]
+            lw, uw, lh, uh = pad_amounts(h, w, 16)
+            tar = np.pad(np.asarray(frames[ki].image, np.float32),
+                         ((lh, uh), (lw, uw), (0, 0)))
+            for i, f in enumerate(frames):
+                if i == ki or not f.segments_info:
+                    continue
+                m = np.pad(np.asarray(f.mask), ((lh, uh), (lw, uw)))
+                # one channel per segment, in segments_info order — the
+                # exact one-hot stack find_consensus_auto_association builds
+                oh = np.stack([m == seg.id for seg in f.segments_info]
+                              ).astype(np.float32)
+                src = np.pad(np.asarray(f.image, np.float32),
+                             ((lh, uh), (lw, uw), (0, 0)))
+                items.append((vi, i, src, tar, oh))
+        if not items:
+            return per_video
+        o_pad = self.cfg.pad_objects(max(it[4].shape[0] for it in items))
+        n_obj = jnp.asarray([it[4].shape[0] for it in items], jnp.int32)
+        src = jnp.asarray(np.stack([it[2] for it in items]))
+        tar = jnp.asarray(np.stack([it[3] for it in items]))
+        msk = jnp.asarray(np.stack(
+            [np.pad(it[4], ((0, o_pad - it[4].shape[0]), (0, 0), (0, 0)))
+             for it in items]))
+
+        keyk = ("align_ids", o_pad, src.shape)
+        if keyk not in self._fns:
+            model = self.model
+            cfg = self.cfg
+
+            def body(src_img, tar_img, src_mask, n, variables):
+                from deva_tpu.ops import memory_attention as ma
+                src_ms, src_feat = model.apply(
+                    variables, src_img[None], method=DEVANetwork.encode_image)
+                src_key, src_shr, _ = model.apply(
+                    variables, src_feat, method=DEVANetwork.transform_key)
+                tar_ms, tar_feat = model.apply(
+                    variables, tar_img[None], method=DEVANetwork.encode_image)
+                tar_key, _, tar_sel = model.apply(
+                    variables, tar_feat, method=DEVANetwork.transform_key)
+                _, hq, wq, ck = src_key.shape
+                o = src_mask.shape[0]
+                cv = model.config.value_dim
+                sensory = jnp.zeros((1, o, hq, wq, cv), jnp.float32)
+                value, sensory = model.apply(
+                    variables, src_img[None], src_ms[0], sensory,
+                    src_mask[None], deep_update=True, method=DEVANetwork.encode_mask)
+                mk = src_key[0].reshape(hq * wq, ck)
+                msr = src_shr[0].reshape(hq * wq)
+                qk = tar_key[0].reshape(hq * wq, ck)
+                qe = tar_sel[0].reshape(hq * wq, ck)
+                values = value[0].reshape(o, hq * wq, cv)
+                rd = ma.attend(mk, msr, values, qk, qe, top_k=cfg.top_k,
+                               method=cfg.topk_method)
+                rd = rd.reshape(1, o, hq, wq, cv)
+                selector = (jnp.arange(o) < n).astype(jnp.float32)[None]
+                _, _, prob = model.apply(
+                    variables, tar_ms, rd, sensory, src_mask[None],
+                    selector=selector, update_sensory=False,
+                    method=DEVANetwork.segment)
+                p = prob[0]  # [1 + o_pad, H, W], padded domain
+                ok = jnp.arange(p.shape[0]) <= n
+                return jnp.argmax(jnp.where(ok[:, None, None], p, -1.0),
+                                  axis=0).astype(jnp.uint8)
+
+            self._fns[keyk] = jax.jit(
+                jax.vmap(body, in_axes=(0, 0, 0, 0, None)))
+        assert o_pad < 255
+        ids = np.asarray(self._fns[keyk](src, tar, msk, n_obj,
+                                         self.variables))
+        for k, (vi, i, *_rest) in enumerate(items):
+            per_video[vi][i] = ids[k].astype(np.int64)
+        return per_video
+
     # -- long-term consolidation (host-orchestrated, rare) ------------------
 
     def _maybe_consolidate(self) -> None:

@@ -43,10 +43,18 @@ def find_consensus_auto_association(
         core,
         keyframe_selection: Literal["last", "middle", "score",
                                     "first"] = "last",
+        precomputed_proj: Optional[Dict[int, np.ndarray]] = None,
 ) -> Tuple[int, np.ndarray, List[ObjectInfo]]:
     """frames: buffered FrameInfos with id masks + segments_info.
     Returns (keyframe_ti, consensus id mask [H, W], merged ObjectInfos).
-    reference:consensus_automatic.py:82-272."""
+    reference:consensus_automatic.py:82-272.
+
+    precomputed_proj: optional {frame_index: argmaxed channel-index map
+    [H, W] int, padded domain} — the spatial alignments computed in ONE
+    batched launch with device-side argmax
+    (BatchedDetectionPropagator.align_consensus_batched) instead of one
+    launch + full-probability readback per (video, frame). Frames missing
+    from the dict fall back to core.spatial_alignment."""
     time_indices = [f.ti for f in frames]
     h, w = frames[0].image.shape[:2]
     pad = pad_amounts(h, w, 16)
@@ -100,10 +108,13 @@ def find_consensus_auto_association(
         if ti == keyframe_ti:
             proj = np.concatenate(
                 [np.full_like(mask[:1], 0.5), mask], axis=0)
+            proj = np.argmax(proj, axis=0)
+        elif precomputed_proj is not None and i in precomputed_proj:
+            proj = np.asarray(precomputed_proj[i])  # already argmaxed ids
         else:
             proj = core.spatial_alignment(ti, images[i], mask, keyframe_ti,
                                           images[keyframe_i])
-        proj = np.argmax(proj, axis=0)  # padded domain, channel indices
+            proj = np.argmax(proj, axis=0)  # padded domain, channel indices
         remapped = np.zeros_like(proj)
         for channel_id, object_id in channel_mappings[i].items():
             m = proj == (channel_id + 1)

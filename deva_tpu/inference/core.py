@@ -523,13 +523,18 @@ class InferenceCore:
                            jnp.asarray(src_mask)[None], selector)
         return np.asarray(prob[0][:o + 1])
 
-    def vote_in_temporary_buffer(self, keyframe_selection: str = "first"):
+    def vote_in_temporary_buffer(self, keyframe_selection: str = "first",
+                                 precomputed_proj=None):
         """Run in-clip consensus over the buffered frames.
-        reference:deva/inference/inference_core.py:118-129."""
+        reference:deva/inference/inference_core.py:118-129.
+        precomputed_proj: optional {frame_index: aligned channel-id map} from
+        BatchedDetectionPropagator.align_consensus_batched (one launch for
+        the whole batch instead of one per frame here)."""
         from deva_tpu.inference.consensus import \
             find_consensus_auto_association
         return find_consensus_auto_association(
-            self.frame_buffer, self, keyframe_selection=keyframe_selection)
+            self.frame_buffer, self, keyframe_selection=keyframe_selection,
+            precomputed_proj=precomputed_proj)
 
     def incorporate_detection(self,
                               image,

@@ -200,22 +200,20 @@ def run_group_online(model, variables, cfg, group, args,
             records = [_frame_record(vs.reader, ti, dataset_name)
                        for vs in states]
             n_frames += len(states)
-            fwd = None
+            fwd_ids = None
             if attached:
                 # the forward _segment every core's incorporate would run,
-                # in ONE launch (sensory updates included) — then detach so
-                # the per-video merge runs reference-parity host code
-                fwd = bp.forward_probs([r[0]["rgb"] for r in records])
+                # in ONE launch (sensory updates included), argmaxed to
+                # uint8 ids on device — then detach so the per-video merge
+                # runs reference-parity host code
+                fwd_ids = bp.forward_ids([r[0]["rgb"] for r in records])
                 bp.detach()
                 attached = False
             for vi, vs in enumerate(states):
                 data, info, segs = records[vi]
                 mask = data.get("mask")
                 assert mask is not None
-                fm = None
-                if fwd is not None:
-                    n = vs.core.object_manager.num_obj
-                    fm = np.argmax(fwd[vi][:n + 1], axis=0)
+                fm = fwd_ids[vi] if fwd_ids is not None else None
                 prob = vs.core.incorporate_detection(
                     data["rgb"], mask, segs, forward_mask=fm)
                 if info["save"]:
@@ -322,28 +320,32 @@ def run_group(model, variables, cfg, group, args, dataset_name) -> int:
             # BEFORE detaching so its sensory update (the reference's
             # internal _segment updates sensory too) reaches the cores
             buf0s = [vs.core.frame_buffer[0] for vs in states]
-            fwd = None
+            fwd_ids = None
             if attached:
-                fwd = bp.forward_probs([b.image for b in buf0s])
+                # device-side masked argmax (uint8 ids) — the f32
+                # probability stack is ~36x more tunnel traffic
+                fwd_ids = bp.forward_ids([b.image for b in buf0s])
                 bp.detach()
                 attached = False
-            # the per-video votes (spatial alignment launches + joint-hist
-            # IoU + ILP) are independent: run them in a thread pool so one
-            # video's host-side ILP overlaps another's device work
-            # (SURVEY §7 hard part 4: overlap consensus with propagation
-            # without changing the per-video sequential semantics)
+            # every (video, frame) spatial alignment in ONE launch with
+            # id-sized readbacks (measured: the per-video alignment round
+            # trips were 67% of detection-mode cycle time, bench.py
+            # --detection phase breakdown)
+            projs = bp.align_consensus_batched([vs.core for vs in states],
+                                               keyframe_selection="first")
+            # the per-video votes (joint-hist IoU + ILP on the precomputed
+            # alignments) are independent host work: a thread pool overlaps
+            # one video's ILP with another's (SURVEY §7 hard part 4)
             from concurrent.futures import ThreadPoolExecutor
             with ThreadPoolExecutor(min(4, len(states))) as pool:
                 votes = list(pool.map(
-                    lambda vs: vs.core.vote_in_temporary_buffer(
-                        keyframe_selection="first"), states))
+                    lambda vp: vp[0].core.vote_in_temporary_buffer(
+                        keyframe_selection="first", precomputed_proj=vp[1]),
+                    zip(states, projs)))
             for vi, vs in enumerate(states):
                 buf0 = buf0s[vi]
                 _, consensus_mask, consensus_info = votes[vi]
-                fm = None
-                if fwd is not None:
-                    n = vs.core.object_manager.num_obj
-                    fm = np.argmax(fwd[vi][:n + 1], axis=0)
+                fm = fwd_ids[vi] if fwd_ids is not None else None
                 prob = vs.core.incorporate_detection(
                     buf0.image, consensus_mask, consensus_info,
                     forward_mask=fm)

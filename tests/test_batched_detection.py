@@ -210,6 +210,67 @@ def test_empty_lane_rides_along():
     assert s_b == b_b
 
 
+def test_batched_consensus_alignment_matches_per_video():
+    """align_consensus_batched (ONE vmapped launch + device argmax) must
+    reproduce the per-video spatial_alignment + np.argmax consensus path:
+    same consensus masks and merged segment votes (up to the usual
+    padded-object-channel softmax drift at argmax boundaries). Also pins
+    forward_ids == argmax(forward_probs[:n+1])."""
+    from deva_tpu.inference.frame_utils import FrameInfo
+
+    model = DEVANetwork(ModelConfig())
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)),
+                           jnp.zeros((1, 1, 32, 32)),
+                           jnp.zeros((1, 1, 2, 2, 512)))
+    cfg = InferenceConfig(mem_every=2, top_k=8, enable_long_term=False,
+                          num_voting_frames=3, topk_method="exact")
+    rng = np.random.default_rng(7)
+    # video 1 has 3 segments (different object count than video 0's 2):
+    # exercises the shared batched object pad
+    vids = [_video(rng, 3), _video(rng, 3, third_at=0)]
+    cores = []
+    for frames, det_masks, det_infos in vids:
+        c = InferenceCore(model, variables, cfg)
+        c.enabled_long_id()
+        for ti in range(3):
+            c.add_to_temporary_buffer(FrameInfo(
+                frames[ti], det_masks[ti], _segs(det_infos[ti]), ti, {}))
+        cores.append(c)
+
+    bp = BatchedDetectionPropagator(model, variables, cfg)
+    projs = bp.align_consensus_batched(cores, keyframe_selection="first")
+    assert sorted(projs[0].keys()) == [1, 2]
+
+    for vi, c in enumerate(cores):
+        ti_b, mask_b, info_b = c.vote_in_temporary_buffer(
+            keyframe_selection="first", precomputed_proj=projs[vi])
+        ti_r, mask_r, info_r = c.vote_in_temporary_buffer(
+            keyframe_selection="first")
+        assert ti_b == ti_r
+        assert (mask_b != mask_r).mean() < 0.01, \
+            f"video {vi}: {(mask_b != mask_r).mean():.2%} ids differ"
+        assert [o.category_ids for o in info_b] == \
+            [o.category_ids for o in info_r]
+
+    # forward_ids == argmax(forward_probs[:n+1]) after real state exists
+    for c, (frames, det_masks, det_infos) in zip(cores, vids):
+        c.incorporate_detection(frames[0], det_masks[0],
+                                _segs(det_infos[0]))
+        c.clear_buffer()
+    bp.attach(cores)
+    imgs = [v[0][1] for v in vids]
+    sens0 = bp.sensory  # forward updates sensory; equal states for both
+    fwd = bp.forward_probs(imgs)
+    bp.sensory = sens0
+    ids = bp.forward_ids(imgs)
+    for vi, c in enumerate(cores):
+        n = c.object_manager.num_obj
+        ref_ids = np.argmax(fwd[vi][:n + 1], axis=0)
+        assert (ids[vi] != ref_ids).mean() < 0.01
+    bp.detach()
+
+
 def test_batched_detection_state_roundtrip():
     """attach -> detach with no steps must leave core state untouched."""
     model = DEVANetwork(ModelConfig())
