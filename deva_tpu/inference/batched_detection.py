@@ -740,8 +740,15 @@ class BatchedDetectionPropagator:
         cycle time at ~23 s/cycle — 16 sequential alignment launches, each
         synchronously pulling an f32 [1+o, H, W] probability stack (~8 MB)
         through the ~34 MB/s tunnel. One launch + uint8-sized readbacks
-        removes 15 round-trips and ~97% of the bytes."""
+        removes 15 round-trips and ~97% of the bytes. Uploads are kept
+        small the same way: the one-hot mask stack is built ON DEVICE from
+        an int32 id mask + per-item segment-id table (4x fewer bytes at
+        o_pad=4, 16x at 16), each video's keyframe image ships once and is
+        gathered per item inside the launch, and device-resident images
+        (lockstep drivers keep frames on device) are padded/stacked with
+        jnp ops so they never round-trip through the host."""
         items = []
+        tars = []       # one padded keyframe image per contributing video
         per_video: List[Dict[int, np.ndarray]] = [dict() for _ in cores]
         for vi, c in enumerate(cores):
             frames = c.frame_buffer
@@ -757,36 +764,49 @@ class BatchedDetectionPropagator:
                 raise NotImplementedError(keyframe_selection)
             h, w = frames[0].image.shape[:2]
             lw, uw, lh, uh = pad_amounts(h, w, 16)
-            tar = np.pad(np.asarray(frames[ki].image, np.float32),
-                         ((lh, uh), (lw, uw), (0, 0)))
+
+            def pad_img(img):
+                # jnp.pad keeps device-resident frames on device; a host
+                # numpy frame uploads once here
+                return jnp.pad(jnp.asarray(img, jnp.float32),
+                               ((lh, uh), (lw, uw), (0, 0)))
+
+            tar_idx = None
             for i, f in enumerate(frames):
                 if i == ki or not f.segments_info:
                     continue
-                m = np.pad(np.asarray(f.mask), ((lh, uh), (lw, uw)))
-                # one channel per segment, in segments_info order — the
-                # exact one-hot stack find_consensus_auto_association builds
-                oh = np.stack([m == seg.id for seg in f.segments_info]
-                              ).astype(np.float32)
-                src = np.pad(np.asarray(f.image, np.float32),
-                             ((lh, uh), (lw, uw), (0, 0)))
-                items.append((vi, i, src, tar, oh))
+                if tar_idx is None:
+                    tar_idx = len(tars)
+                    tars.append(pad_img(frames[ki].image))
+                m = np.pad(np.asarray(f.mask, np.int32),
+                           ((lh, uh), (lw, uw)))
+                seg_ids = [seg.id for seg in f.segments_info]
+                items.append((vi, i, pad_img(f.image), tar_idx, m, seg_ids))
         if not items:
             return per_video
-        o_pad = self.cfg.pad_objects(max(it[4].shape[0] for it in items))
-        n_obj = jnp.asarray([it[4].shape[0] for it in items], jnp.int32)
-        src = jnp.asarray(np.stack([it[2] for it in items]))
-        tar = jnp.asarray(np.stack([it[3] for it in items]))
-        msk = jnp.asarray(np.stack(
-            [np.pad(it[4], ((0, o_pad - it[4].shape[0]), (0, 0), (0, 0)))
+        o_pad = self.cfg.pad_objects(max(len(it[5]) for it in items))
+        n_obj = jnp.asarray([len(it[5]) for it in items], jnp.int32)
+        src = jnp.stack([it[2] for it in items])
+        tar_all = jnp.stack(tars)
+        tar_idx = jnp.asarray([it[3] for it in items], jnp.int32)
+        mask_ids = jnp.asarray(np.stack([it[4] for it in items]))
+        # -1 pad never matches (mask ids are >= 0; channel order is the
+        # segments_info order find_consensus_auto_association uses)
+        seg_tab = jnp.asarray(np.stack(
+            [np.asarray(it[5] + [-1] * (o_pad - len(it[5])), np.int32)
              for it in items]))
 
-        keyk = ("align_ids", o_pad, src.shape)
+        keyk = ("align_ids", o_pad, src.shape, tar_all.shape)
         if keyk not in self._fns:
             model = self.model
             cfg = self.cfg
 
-            def body(src_img, tar_img, src_mask, n, variables):
+            def body(src_img, mask_ids, seg_ids, n, tar_i, tar_all,
+                     variables):
                 from deva_tpu.ops import memory_attention as ma
+                src_mask = (mask_ids[None] == seg_ids[:, None, None]
+                            ).astype(jnp.float32)      # [o_pad, H, W]
+                tar_img = tar_all[tar_i]
                 src_ms, src_feat = model.apply(
                     variables, src_img[None], method=DEVANetwork.encode_image)
                 src_key, src_shr, _ = model.apply(
@@ -801,7 +821,8 @@ class BatchedDetectionPropagator:
                 sensory = jnp.zeros((1, o, hq, wq, cv), jnp.float32)
                 value, sensory = model.apply(
                     variables, src_img[None], src_ms[0], sensory,
-                    src_mask[None], deep_update=True, method=DEVANetwork.encode_mask)
+                    src_mask[None], deep_update=True,
+                    method=DEVANetwork.encode_mask)
                 mk = src_key[0].reshape(hq * wq, ck)
                 msr = src_shr[0].reshape(hq * wq)
                 qk = tar_key[0].reshape(hq * wq, ck)
@@ -821,10 +842,10 @@ class BatchedDetectionPropagator:
                                   axis=0).astype(jnp.uint8)
 
             self._fns[keyk] = jax.jit(
-                jax.vmap(body, in_axes=(0, 0, 0, 0, None)))
+                jax.vmap(body, in_axes=(0, 0, 0, 0, 0, None, None)))
         assert o_pad < 255
-        ids = np.asarray(self._fns[keyk](src, tar, msk, n_obj,
-                                         self.variables))
+        ids = np.asarray(self._fns[keyk](src, mask_ids, seg_tab, n_obj,
+                                         tar_idx, tar_all, self.variables))
         for k, (vi, i, *_rest) in enumerate(items):
             per_video[vi][i] = ids[k].astype(np.int64)
         return per_video

@@ -58,29 +58,37 @@ def find_consensus_auto_association(
     time_indices = [f.ti for f in frames]
     h, w = frames[0].image.shape[:2]
     pad = pad_amounts(h, w, 16)
-    images = [_pad_hw(np.moveaxis(f.image, -1, 0), pad) for f in frames]
-    images = [np.moveaxis(im, 0, -1) for im in images]
-    masks = [_pad_hw(np.asarray(f.mask, np.int64), pad) for f in frames]
+
+    # images and one-hot stacks are built LAZILY: with precomputed_proj
+    # covering every non-keyframe frame (the batched-alignment fast path)
+    # only the keyframe's one-hot is ever materialized, skipping ~8 full-res
+    # pad copies + bool->f32 stacks per video per cycle on the host
+    def padded_image(i):
+        im = _pad_hw(np.moveaxis(frames[i].image, -1, 0), pad)
+        return np.moveaxis(im, 0, -1)
+
+    def padded_mask(i):
+        return _pad_hw(np.asarray(frames[i].mask, np.int64), pad)
+
+    def one_hot(i):
+        m = padded_mask(i)
+        return np.stack([m == seg.id for seg in frames[i].segments_info]
+                        ).astype(np.float32)
 
     # re-index all segments with globally unique internal ids (1-based)
     internal_id = 0
     all_new_segments_info: Dict[int, ObjectInfo] = {}
     frame_index_to_seg_info = defaultdict(list)
     channel_mappings = []
-    one_hot_masks: List[Optional[np.ndarray]] = []
     for i, f in enumerate(frames):
         mapping = {}
-        chans = []
         for si, seg in enumerate(f.segments_info):
             internal_id += 1
             new_seg = ObjectInfo(internal_id)
             new_seg.copy_meta_info(seg)
             all_new_segments_info[internal_id] = new_seg
-            chans.append(masks[i] == seg.id)
             mapping[si] = internal_id
             frame_index_to_seg_info[i].append(new_seg)
-        one_hot_masks.append(
-            np.stack(chans).astype(np.float32) if chans else None)
         channel_mappings.append(mapping)
 
     if keyframe_selection == "last":
@@ -101,19 +109,21 @@ def find_consensus_auto_association(
     projected_masks: List[Optional[np.ndarray]] = []
     seg_areas: Dict[int, int] = {}
     seg_mask: Dict[int, np.ndarray] = {}
-    for i, (ti, mask) in enumerate(zip(time_indices, one_hot_masks)):
-        if mask is None:
+    for i, ti in enumerate(time_indices):
+        if not frame_index_to_seg_info[i]:
             projected_masks.append(None)
             continue
         if ti == keyframe_ti:
+            mask = one_hot(i)
             proj = np.concatenate(
                 [np.full_like(mask[:1], 0.5), mask], axis=0)
             proj = np.argmax(proj, axis=0)
         elif precomputed_proj is not None and i in precomputed_proj:
             proj = np.asarray(precomputed_proj[i])  # already argmaxed ids
         else:
-            proj = core.spatial_alignment(ti, images[i], mask, keyframe_ti,
-                                          images[keyframe_i])
+            proj = core.spatial_alignment(ti, padded_image(i), one_hot(i),
+                                          keyframe_ti,
+                                          padded_image(keyframe_i))
             proj = np.argmax(proj, axis=0)  # padded domain, channel indices
         remapped = np.zeros_like(proj)
         for channel_id, object_id in channel_mappings[i].items():
@@ -180,7 +190,7 @@ def find_consensus_auto_association(
     # paint largest first (small objects on top), then unpad
     painted = np.zeros_like(projected_masks[keyframe_i]
                             if projected_masks[keyframe_i] is not None
-                            else masks[0])
+                            else padded_mask(0))
     for object_id, _ in sorted(selected_areas.items(), key=lambda x: x[1],
                                reverse=True):
         painted[seg_mask[object_id]] = object_id
