@@ -402,6 +402,18 @@ def bench_train(windows=3, steps_per_window=3, t=8, h=384, w=384,
     import jax.random as jrandom
     state, metrics = step(state, batch, jrandom.PRNGKey(1))  # compile
     _ = float(metrics["total_loss"])
+    mem_gb = None
+    try:
+        # the relay backend exposes no runtime memory_stats(); XLA's own
+        # memory_analysis of the compiled step is the honest substitute
+        # (cache hit — the executable was just built)
+        ma = step.lower(state, batch,
+                        jrandom.PRNGKey(1)).compile().memory_analysis()
+        mem_gb = (ma.argument_size_in_bytes + ma.output_size_in_bytes
+                  + ma.temp_size_in_bytes
+                  - ma.alias_size_in_bytes) / 2 ** 30
+    except Exception:
+        pass
 
     def window():
         nonlocal state
@@ -416,7 +428,7 @@ def bench_train(windows=3, steps_per_window=3, t=8, h=384, w=384,
     sps = steps_per_window * b / secs
     print(f"train: {n_dev} device(s), batch {b}x{t}f@{h}p, "
           f"{sps:.3f} samples/s ({sps * t:.2f} frames/s)", file=sys.stderr)
-    return sps, sps * t
+    return sps, sps * t, mem_gb
 
 
 def _wait_for_backend(attempts=3, wait_s=120):
@@ -460,14 +472,30 @@ def main():
         pdb = 2
         if "--per_device_batch" in sys.argv:
             pdb = int(sys.argv[sys.argv.index("--per_device_batch") + 1])
-        sps, fps = bench_train(per_device_batch=pdb,
-                               remat="--remat" in sys.argv)
+        sps, fps, mem_gb = bench_train(per_device_batch=pdb,
+                                       remat="--remat" in sys.argv)
         print(f"total bench time {time.perf_counter() - t0:.0f}s, "
               f"platform={jax.devices()[0].platform}", file=sys.stderr)
+        train_extra = {}
+        try:  # step time + peak memory alongside throughput (VERDICT r4 #2)
+            train_extra["step_seconds"] = round(
+                pdb * len(jax.devices()) / sps, 3)
+            stats = jax.local_devices()[0].memory_stats() or {}
+            peak = stats.get("peak_bytes_in_use")
+            if peak is not None:
+                train_extra["peak_hbm_gb"] = round(peak / 2 ** 30, 3)
+        except Exception:
+            pass  # memory_stats is not available on every backend
+        if mem_gb is not None:
+            # XLA memory_analysis (args+outputs+temps-aliased) — the relay
+            # backend exposes no runtime memory_stats()
+            train_extra["hbm_estimate_gb"] = round(mem_gb, 3)
         print(json.dumps({
             "metric": "train_step_samples_per_sec",
             "value": round(sps, 3),
             "unit": "samples/sec",
+            "remat": "--remat" in sys.argv,
+            **train_extra,
             "vs_baseline": round(sps / 4.0, 3),
             "baseline_note": ("stage-3-shaped synthetic step (8 frames, "
                               "384p, 3 objects); baseline assumed 4 "
