@@ -324,6 +324,7 @@ def bench_detection(model, variables, cfg, *, batch, h, w, n_det_objects=4,
           + ", ".join(f"{k} {v:.1f}" for k, v in sorted(
               phase_t.items(), key=lambda kv: -kv[1])), file=sys.stderr)
     phase_t.clear()
+    fns_after_warm = len(bp._fns)
     # the measured windows must run the production long-term path
     if attached:
         bp.detach()
@@ -350,6 +351,9 @@ def bench_detection(model, variables, cfg, *, batch, h, w, n_det_objects=4,
     print("measured phase seconds: "
           + ", ".join(f"{k} {v:.1f}" for k, v in sorted(
               phase_t.items(), key=lambda kv: -kv[1])), file=sys.stderr)
+    print(f"propagator jit cache: {fns_after_warm} fns after warmup, "
+          f"{len(bp._fns)} after windows (growth = in-window retraces)",
+          file=sys.stderr)
     if attached:
         bp.detach()
     pool.shutdown()

@@ -137,63 +137,86 @@ class BatchedDetectionPropagator:
         self.sizes = np.zeros((b, n_slots), np.int64)
         self.rowcnt = np.zeros((b, n_slots), np.int64)
         rowmaps = np.zeros((b, n_slots, self.o_slot), np.int64)
-        key_l, shr_l, val_l, sen_l, lm_l, nobj = [], [], [], [], [], []
-        sel_l, use_l, life_l = [], [], []
+        nobj = []
         self._slot_bids: List[List[int]] = []
+        videos, vspec = [], []
         for vi, c in enumerate(cores):
             obj_rows = {o.id: t - 1
                         for o, t in c.object_manager.obj_to_tmp_id.items()}
-            ks = jnp.zeros((n_slots, cap, ck), dt)
-            ss = jnp.zeros((n_slots, cap), dt)
-            vs = jnp.zeros((n_slots, cap, self.o_slot, cv), dt)
-            if self.use_lt:
-                sl = jnp.zeros((n_slots, cap, ck), dt)
-                us = jnp.zeros((n_slots, cap), jnp.float32)
-                lf = jnp.zeros((n_slots, cap), jnp.float32)
             bids = sorted(c.memory.buckets.keys()) if eng[vi] else []
             self._slot_bids.append(bids)
+            v = {"k": [], "s": [], "v": []}
+            slots = []
+            if self.use_lt:
+                v.update(sel=[], u=[], l=[],
+                         ltk=[], lts=[], ltv=[], ltu=[], ltl=[])
+            lt_slots = []
             for si, bid in enumerate(bids):
                 bk = c.memory.buckets[bid]
-                ks = ks.at[si, :bk.cap].set(bk.key)
-                ss = ss.at[si, :bk.cap].set(bk.shrinkage)
-                vs = vs.at[si, :bk.cap, :bk.o_cap].set(bk.value)
+                v["k"].append(bk.key)
+                v["s"].append(bk.shrinkage)
+                v["v"].append(bk.value)
+                slots.append((bk.cap, bk.o_cap))
                 if self.use_lt:
-                    sl = sl.at[si, :bk.cap].set(bk.selection)
-                    us = us.at[si, :bk.cap].set(bk.use_cnt)
-                    lf = lf.at[si, :bk.cap].set(bk.life_cnt)
+                    v["sel"].append(bk.selection)
+                    v["u"].append(bk.use_cnt)
+                    v["l"].append(bk.life_cnt)
+                    lt = c.memory.long_buckets.get(bid)
+                    if lt is not None:
+                        has_use = lt.use_cnt is not None
+                        lt_slots.append((lt.cap, lt.o_cap, has_use))
+                        v["ltk"].append(lt.key)
+                        v["lts"].append(lt.shrinkage)
+                        v["ltv"].append(lt.value)
+                        v["ltu"].append(lt.use_cnt if has_use else None)
+                        v["ltl"].append(lt.life_cnt if has_use else None)
+                    else:
+                        lt_slots.append(None)
+                        for kk in ("ltk", "lts", "ltv", "ltu", "ltl"):
+                            v[kk].append(None)
                 self.sizes[vi, si] = bk.size
                 self.rowcnt[vi, si] = len(bk.obj_ids)
                 rowmaps[vi, si, :len(bk.obj_ids)] = [obj_rows[o]
                                                      for o in bk.obj_ids]
-            key_l.append(ks)
-            shr_l.append(ss)
-            val_l.append(vs)
-            if self.use_lt:
-                sel_l.append(sl)
-                use_l.append(us)
-                life_l.append(lf)
             if eng[vi]:
-                pad_o = self.o_cap - c.memory.sensory.shape[0]
-                sen_l.append(jnp.pad(c.memory.sensory,
-                                     ((0, pad_o), (0, 0), (0, 0), (0, 0))))
-                lm_l.append(jnp.pad(c.last_mask,
-                                    ((0, self.o_cap - c.last_mask.shape[0]),
-                                     (0, 0), (0, 0))))
+                v["sen"] = c.memory.sensory
+                v["lm"] = c.last_mask
+                sen_o = c.memory.sensory.shape[0]
+                lm_o = c.last_mask.shape[0]
             else:
-                # empty lane: fresh zero state at the batch's shared shapes
-                # (a purged core's stale sensory/last_mask must not leak in)
-                sen_l.append(jnp.zeros(
-                    (self.o_cap,) + ref.memory.sensory.shape[1:],
-                    ref.memory.sensory.dtype))
-                lm_l.append(jnp.zeros(
-                    (self.o_cap,) + ref.last_mask.shape[1:],
-                    ref.last_mask.dtype))
+                sen_o = lm_o = 0
+            videos.append(v)
+            vspec.append((bool(eng[vi]), tuple(slots), tuple(lt_slots),
+                          sen_o, lm_o))
             nobj.append(c.object_manager.num_obj if eng[vi] else 0)
-        self.key = jnp.stack(key_l)
-        self.shr = jnp.stack(shr_l)
-        self.value = jnp.stack(val_l)
-        self.sensory = jnp.stack(sen_l)
-        self.last_mask = jnp.stack(lm_l)
+        if self.use_lt:
+            self.lt_sizes = np.zeros((b, n_slots), np.int64)
+            lcap = self.cfg.num_prototypes
+            for vi, c in enumerate(cores):
+                for si, bid in enumerate(self._slot_bids[vi]):
+                    lt = c.memory.long_buckets.get(bid)
+                    if lt is not None:
+                        self.lt_sizes[vi, si] = lt.size
+                        lcap = max(lcap, lt.cap)
+            lcap = _round_up(lcap, self.cfg.num_prototypes)
+        else:
+            lcap = 0
+        spec = (n_slots, cap, self.o_slot, self.o_cap, lcap, ck, cv,
+                np.dtype(dt).name,
+                ref.memory.sensory.shape[1:],
+                np.dtype(ref.memory.sensory.dtype).name,
+                ref.last_mask.shape[1:],
+                np.dtype(ref.last_mask.dtype).name,
+                tuple(vspec))
+        out = self._pack_call(videos, spec)
+        self.key, self.shr, self.value = out["key"], out["shr"], out["value"]
+        self.sensory, self.last_mask = out["sen"], out["lm"]
+        if self.use_lt:
+            self.sel = out["sel"]
+            self.use_cnt, self.life_cnt = out["use"], out["life"]
+            self.lt_key, self.lt_shr = out["ltk"], out["lts"]
+            self.lt_value = out["ltv"]
+            self.lt_use, self.lt_life = out["ltu"], out["ltl"]
         self.num_obj = jnp.asarray(nobj, jnp.int32)
         self.rowmaps = jnp.asarray(rowmaps, jnp.int32)
         # per-video frame clocks: videos may join the batch at different
@@ -204,51 +227,96 @@ class BatchedDetectionPropagator:
         self.curr_ti = np.asarray([c.curr_ti for c in cores], np.int64)
         self.last_mem_ti = np.asarray([c.last_mem_ti for c in cores],
                                       np.int64)
-        if self.use_lt:
-            self.sel = jnp.stack(sel_l)
-            self.use_cnt = jnp.stack(use_l)
-            self.life_cnt = jnp.stack(life_l)
-            self.lt_sizes = np.zeros((b, n_slots), np.int64)
-            lcap = self.cfg.num_prototypes
-            for vi, c in enumerate(cores):
-                for si, bid in enumerate(self._slot_bids[vi]):
-                    lt = c.memory.long_buckets.get(bid)
-                    if lt is not None:
-                        self.lt_sizes[vi, si] = lt.size
-                        lcap = max(lcap, lt.cap)
-            lcap = _round_up(lcap, self.cfg.num_prototypes)
-            self.lt_key = jnp.zeros((b, n_slots, lcap, ck), dt)
-            self.lt_shr = jnp.zeros((b, n_slots, lcap), dt)
-            self.lt_value = jnp.zeros((b, n_slots, lcap, self.o_slot, cv),
-                                      dt)
-            self.lt_use = jnp.zeros((b, n_slots, lcap), jnp.float32)
-            self.lt_life = jnp.zeros((b, n_slots, lcap), jnp.float32)
-            for vi, c in enumerate(cores):
-                for si, bid in enumerate(self._slot_bids[vi]):
-                    lt = c.memory.long_buckets.get(bid)
-                    if lt is None:
-                        continue
-                    self.lt_key = self.lt_key.at[vi, si, :lt.cap].set(lt.key)
-                    self.lt_shr = self.lt_shr.at[vi, si, :lt.cap].set(
-                        lt.shrinkage)
-                    self.lt_value = self.lt_value.at[
-                        vi, si, :lt.cap, :lt.o_cap].set(lt.value)
-                    if lt.use_cnt is not None:
-                        self.lt_use = self.lt_use.at[vi, si, :lt.cap].set(
-                            lt.use_cnt)
-                        self.lt_life = self.lt_life.at[vi, si, :lt.cap].set(
-                            lt.life_cnt)
+
+    def _pack_call(self, videos, spec):
+        """Stack every per-bucket ring into the padded slot arrays in ONE
+        jitted dispatch. attach used to issue one .at[].set per (video,
+        slot, ring) — ~6*B*S tiny launches through the tunneled backend
+        (~0.9 s/cycle at batch 8 in the detection bench); packed, the same
+        math is a single executable. Shapes recur once rings saturate, so
+        the trace cache (keyed on the full static spec) stabilizes after
+        warmup."""
+        keyk = ("pack", spec)
+        if keyk not in self._fns:
+            (n_slots, cap, o_slot, o_cap, lcap, ck, cv, ring_dt,
+             sen_tail, sen_dt, lm_tail, lm_dt, vspec) = spec
+            use_lt = self.use_lt
+
+            def fn(videos):
+                out = {"key": [], "shr": [], "value": [], "sen": [],
+                       "lm": []}
+                if use_lt:
+                    out.update(sel=[], use=[], life=[], ltk=[], lts=[],
+                               ltv=[], ltu=[], ltl=[])
+                for v, (engd, slots, lt_slots, sen_o, lm_o) in zip(videos,
+                                                                   vspec):
+                    ks = jnp.zeros((n_slots, cap, ck), ring_dt)
+                    ss = jnp.zeros((n_slots, cap), ring_dt)
+                    vs = jnp.zeros((n_slots, cap, o_slot, cv), ring_dt)
+                    if use_lt:
+                        sl = jnp.zeros((n_slots, cap, ck), ring_dt)
+                        us = jnp.zeros((n_slots, cap), jnp.float32)
+                        lf = jnp.zeros((n_slots, cap), jnp.float32)
+                        lk = jnp.zeros((n_slots, lcap, ck), ring_dt)
+                        lsh = jnp.zeros((n_slots, lcap), ring_dt)
+                        lv = jnp.zeros((n_slots, lcap, o_slot, cv), ring_dt)
+                        lu = jnp.zeros((n_slots, lcap), jnp.float32)
+                        ll = jnp.zeros((n_slots, lcap), jnp.float32)
+                    for si, (bcap, bo) in enumerate(slots):
+                        ks = ks.at[si, :bcap].set(v["k"][si])
+                        ss = ss.at[si, :bcap].set(v["s"][si])
+                        vs = vs.at[si, :bcap, :bo].set(v["v"][si])
+                        if use_lt:
+                            sl = sl.at[si, :bcap].set(v["sel"][si])
+                            us = us.at[si, :bcap].set(v["u"][si])
+                            lf = lf.at[si, :bcap].set(v["l"][si])
+                    if use_lt:
+                        for si, lspec in enumerate(lt_slots):
+                            if lspec is None:
+                                continue
+                            lcap_i, lo, has_use = lspec
+                            lk = lk.at[si, :lcap_i].set(v["ltk"][si])
+                            lsh = lsh.at[si, :lcap_i].set(v["lts"][si])
+                            lv = lv.at[si, :lcap_i, :lo].set(v["ltv"][si])
+                            if has_use:
+                                lu = lu.at[si, :lcap_i].set(v["ltu"][si])
+                                ll = ll.at[si, :lcap_i].set(v["ltl"][si])
+                    if engd:
+                        sen = jnp.pad(
+                            v["sen"], ((0, o_cap - sen_o),) + ((0, 0),) * 3)
+                        lm = jnp.pad(
+                            v["lm"], ((0, o_cap - lm_o), (0, 0), (0, 0)))
+                    else:
+                        # empty lane: fresh zero state at the batch's shared
+                        # shapes (a purged core's stale sensory/last_mask
+                        # must not leak in)
+                        sen = jnp.zeros((o_cap,) + sen_tail, sen_dt)
+                        lm = jnp.zeros((o_cap,) + lm_tail, lm_dt)
+                    out["key"].append(ks)
+                    out["shr"].append(ss)
+                    out["value"].append(vs)
+                    out["sen"].append(sen)
+                    out["lm"].append(lm)
+                    if use_lt:
+                        out["sel"].append(sl)
+                        out["use"].append(us)
+                        out["life"].append(lf)
+                        out["ltk"].append(lk)
+                        out["lts"].append(lsh)
+                        out["ltv"].append(lv)
+                        out["ltu"].append(lu)
+                        out["ltl"].append(ll)
+                return {kk: jnp.stack(vv) for kk, vv in out.items()}
+
+            self._fns[keyk] = jax.jit(fn)
+        return self._fns[keyk](videos)
 
     def detach(self) -> None:
         """Write the advanced stacked state back into the per-video cores
         (so consensus/incorporate run reference-parity single-video code)."""
-        def fit(a, cap):
-            # stacked cap and the bucket's own cap may differ either way
-            if a.shape[0] >= cap:
-                return a[:cap]
-            pad = [(0, cap - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
-            return jnp.pad(a, pad)
-
+        # host pass 1: capacity planning + LongTermBucket creation (pure
+        # python), building the static spec for the single unpack dispatch
+        vspec = []
         for vi, c in enumerate(self.cores):
             if not self._engaged[vi]:
                 # empty lane: only the frame clocks advanced; its (absent)
@@ -256,24 +324,20 @@ class BatchedDetectionPropagator:
                 # incorporate_detection re-engages it from a clean state
                 c.curr_ti = int(self.curr_ti[vi])
                 c.last_mem_ti = int(self.last_mem_ti[vi])
+                vspec.append((False, 0, ()))
                 continue
+            slots = []
             for si, bid in enumerate(self._slot_bids[vi]):
                 bk = c.memory.buckets[bid]
                 need = int(self.sizes[vi, si])
-                # plan (not ensure): fit() overwrites every ring anyway, so
-                # padding the old arrays first would be a dead copy
+                # plan (not ensure): the unpack overwrites every ring anyway,
+                # so padding the old arrays first would be a dead copy
                 cap = bk.plan_capacity(need - bk.size, self.hw,
                                        limit=(c.memory.max_work_tokens
                                               if self.use_lt else None)) \
                     if need > bk.cap else bk.cap
-                bk.key = fit(self.key[vi, si], cap)
-                bk.shrinkage = fit(self.shr[vi, si], cap)
-                bk.value = fit(self.value[vi, si, :, :bk.o_cap], cap)
-                bk.size = need
+                lspec = None
                 if self.use_lt:
-                    bk.selection = fit(self.sel[vi, si], cap)
-                    bk.use_cnt = fit(self.use_cnt[vi, si], cap)
-                    bk.life_cnt = fit(self.life_cnt[vi, si], cap)
                     lt_size = int(self.lt_sizes[vi, si])
                     lt = c.memory.long_buckets.get(bid)
                     if lt is None and lt_size > 0:
@@ -287,18 +351,91 @@ class BatchedDetectionPropagator:
                     if lt is not None:
                         lcap = lt.cap if lt_size <= lt.cap else \
                             _round_up(lt_size, self.cfg.num_prototypes)
-                        lt.key = fit(self.lt_key[vi, si], lcap)
-                        lt.shrinkage = fit(self.lt_shr[vi, si], lcap)
-                        lt.value = fit(self.lt_value[vi, si, :, :lt.o_cap],
-                                       lcap)
+                        lspec = (lcap, lt.o_cap, lt.use_cnt is not None)
+                slots.append((cap, bk.o_cap, lspec))
+            vspec.append((True, c.o_cap, tuple(slots)))
+        out = self._unpack_call(tuple(vspec))
+
+        # host pass 2: assign the unpacked rings back into the cores
+        for vi, c in enumerate(self.cores):
+            if not self._engaged[vi]:
+                continue
+            ov = out[vi]
+            for si, bid in enumerate(self._slot_bids[vi]):
+                bk = c.memory.buckets[bid]
+                d = ov["slots"][si]
+                bk.key, bk.shrinkage, bk.value = d["k"], d["s"], d["v"]
+                bk.size = int(self.sizes[vi, si])
+                if self.use_lt:
+                    bk.selection = d["sel"]
+                    bk.use_cnt, bk.life_cnt = d["u"], d["l"]
+                    lt = c.memory.long_buckets.get(bid)
+                    if lt is not None:
+                        lt.key, lt.shrinkage = d["ltk"], d["lts"]
+                        lt.value = d["ltv"]
                         if lt.use_cnt is not None:
-                            lt.use_cnt = fit(self.lt_use[vi, si], lcap)
-                            lt.life_cnt = fit(self.lt_life[vi, si], lcap)
-                        lt.size = lt_size
-            c.memory.update_sensory(self.sensory[vi, :c.o_cap])
-            c.last_mask = self.last_mask[vi, :c.o_cap]
+                            lt.use_cnt, lt.life_cnt = d["ltu"], d["ltl"]
+                        lt.size = int(self.lt_sizes[vi, si])
+            c.memory.update_sensory(ov["sen"])
+            c.last_mask = ov["lm"]
             c.curr_ti = int(self.curr_ti[vi])
             c.last_mem_ti = int(self.last_mem_ti[vi])
+
+    def _unpack_call(self, vspec):
+        """detach's device work in ONE jitted dispatch (mirror of
+        _pack_call): slice/pad every stacked slot ring back to its bucket's
+        planned capacity. vspec: per video (engaged, core_o_cap, slots);
+        slots: per slot (target_cap, bucket_o_cap, lt_spec) with lt_spec
+        None or (target_lt_cap, lt_o_cap, has_usage)."""
+        keyk = ("unpack", vspec)
+        if keyk not in self._fns:
+            use_lt = self.use_lt
+
+            def fn(key, shr, value, sel, use, life, ltk, lts, ltv, ltu, ltl,
+                   sensory, last_mask):
+                def fit(a, cap):
+                    # stacked cap and the bucket's own may differ either way
+                    if a.shape[0] >= cap:
+                        return a[:cap]
+                    pad = [(0, cap - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+                    return jnp.pad(a, pad)
+
+                res = []
+                for vi, (engd, core_o, slots) in enumerate(vspec):
+                    if not engd:
+                        res.append(None)
+                        continue
+                    ov = {"slots": [], "sen": sensory[vi, :core_o],
+                          "lm": last_mask[vi, :core_o]}
+                    for si, (cap, bo, lspec) in enumerate(slots):
+                        d = {"k": fit(key[vi, si], cap),
+                             "s": fit(shr[vi, si], cap),
+                             "v": fit(value[vi, si, :, :bo], cap)}
+                        if use_lt:
+                            d["sel"] = fit(sel[vi, si], cap)
+                            d["u"] = fit(use[vi, si], cap)
+                            d["l"] = fit(life[vi, si], cap)
+                            if lspec is not None:
+                                lcap, lo, has_use = lspec
+                                d["ltk"] = fit(ltk[vi, si], lcap)
+                                d["lts"] = fit(lts[vi, si], lcap)
+                                d["ltv"] = fit(ltv[vi, si, :, :lo], lcap)
+                                if has_use:
+                                    d["ltu"] = fit(ltu[vi, si], lcap)
+                                    d["ltl"] = fit(ltl[vi, si], lcap)
+                        ov["slots"].append(d)
+                    res.append(ov)
+                return res
+
+            self._fns[keyk] = jax.jit(fn)
+        if self.use_lt:
+            lt_args = (self.sel, self.use_cnt, self.life_cnt, self.lt_key,
+                       self.lt_shr, self.lt_value, self.lt_use, self.lt_life)
+        else:
+            z = jnp.zeros((len(self.cores), self.n_slots, 0))
+            lt_args = (z, z, z, z, z, z, z, z)
+        return self._fns[keyk](self.key, self.shr, self.value, *lt_args,
+                               self.sensory, self.last_mask)
 
     # -- the vmapped body --------------------------------------------------
 
